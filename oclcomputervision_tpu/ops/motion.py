@@ -1,0 +1,196 @@
+"""TPU-native pyramidal dense block-matching motion estimation.
+
+The reference runs a per-pixel Python loop with a shrinking-step SAD
+search (motion_estimation/me_pyramid.py:130-205) - the slowest path in
+the toolkit (SURVEY.md §3.4). Here every pixel searches simultaneously:
+each of the 3 shrinking-step rounds gathers one (patch+2*step)^2 window
+per pixel around its current center, evaluates the 3x3 candidate offsets
+{-step,0,+step}^2 with integer SAD on the VPU, and recenters via argmin.
+The sequential structure that remains (3 rounds) is the algorithm's own
+data dependence; each round is one fused device pass over the image
+instead of ~300k Python iterations.
+
+Semantics (incl. zero-padded out-of-bounds windows, first-minimum
+tie-breaking in row-major (dy, dx) order, and the 'shipped' seed
+double-count quirk) match oracle/motion.py exactly - see its docstring.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oclcomputervision_tpu.oracle.motion import me_steps
+
+
+def _gather_padded_u8(img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarray:
+    """img[yy, xx] with zeros outside (me_pyramid.py:89-127 semantics)."""
+    h, w = img.shape
+    valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+    flat = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+    vals = jnp.take(img.reshape(-1), flat)
+    return jnp.where(valid, vals, jnp.uint8(0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_size", "patch_size", "seed_mode", "has_seed")
+)
+def _estimate_2d(gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed):
+    h, w = gray0.shape
+    pm = patch_size // 2
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ys = ys.astype(jnp.int32)
+    xs = xs.astype(jnp.int32)
+
+    if has_seed:
+        seed_u = seed[..., 0].astype(jnp.float32)
+        seed_v = seed[..., 1].astype(jnp.float32)
+    else:
+        seed_u = jnp.zeros((h, w), jnp.float32)
+        seed_v = jnp.zeros((h, w), jnp.float32)
+
+    cy = ys + jnp.trunc(seed_v).astype(jnp.int32)
+    cx = xs + jnp.trunc(seed_u).astype(jnp.int32)
+
+    offs = jnp.arange(patch_size, dtype=jnp.int32) - pm
+    patches = _gather_padded_u8(
+        gray0,
+        ys[:, :, None, None] + offs[None, None, :, None],
+        xs[:, :, None, None] + offs[None, None, None, :],
+    ).astype(jnp.int32)
+
+    for step in me_steps(search_size, patch_size):
+        k = patch_size + 2 * step  # candidate window extent
+        woffs = jnp.arange(k, dtype=jnp.int32) - (pm + step)
+        window = _gather_padded_u8(
+            gray1,
+            cy[:, :, None, None] + woffs[None, None, :, None],
+            cx[:, :, None, None] + woffs[None, None, None, :],
+        ).astype(jnp.int32)
+
+        sads = []
+        for iy in range(3):
+            for ix in range(3):
+                cand = jax.lax.slice(
+                    window,
+                    (0, 0, iy * step, ix * step),
+                    (h, w, iy * step + patch_size, ix * step + patch_size),
+                )
+                sads.append(jnp.sum(jnp.abs(patches - cand), axis=(2, 3)))
+        best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
+        cy = cy + (best // 3 - 1) * step
+        cx = cx + (best % 3 - 1) * step
+
+    du = (cx - xs).astype(jnp.float32)
+    dv = (cy - ys).astype(jnp.float32)
+    if seed_mode == "shipped":
+        u, v = seed_u + du, seed_v + dv
+    else:  # 'fixed'
+        u, v = du, dv
+    return jnp.stack([u, v], axis=-1)
+
+
+def estimate_motion_vector(
+    gray0: jnp.ndarray,
+    gray1: jnp.ndarray,
+    search_size: int = 15,
+    patch_size: int = 5,
+    seed: Optional[jnp.ndarray] = None,
+    seed_mode: str = "shipped",
+) -> jnp.ndarray:
+    """Dense integer block-matching flow [H, W, 2] (u=x, v=y) float32.
+
+    Defaults match me_pyramid.py:130. Accepts [H, W] or batched [B, H, W]
+    frames (seed batched alike).
+    """
+    gray0 = jnp.asarray(gray0)
+    gray1 = jnp.asarray(gray1)
+    has_seed = seed is not None
+    s = jnp.asarray(seed) if has_seed else jnp.zeros((1,), jnp.float32)
+    if gray0.ndim == 3:
+        return jax.vmap(
+            lambda g0, g1, sd: _estimate_2d(
+                g0, g1, sd, search_size, patch_size, seed_mode, has_seed
+            )
+        )(gray0, gray1, s if has_seed else jnp.zeros((gray0.shape[0], 1), jnp.float32))
+    return _estimate_2d(gray0, gray1, s, search_size, patch_size, seed_mode, has_seed)
+
+
+def _halfpixel_taps(n_out: int, n_in: int):
+    """cv2.INTER_LINEAR tap indices/weights (constants under jit)."""
+    x = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    x0 = np.floor(x)
+    u = x - x0
+    i0 = x0.astype(np.int64)
+    u = np.where(i0 < 0, 0.0, u)
+    u = np.where(i0 >= n_in - 1, 1.0, u)
+    i0 = np.clip(i0, 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    return i0, i1, u.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def resize_bilinear_halfpixel(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-style float resize (half-pixel centers) of [H, W]."""
+    h_out, w_out = out_hw
+    y0, y1, vy = _halfpixel_taps(h_out, img.shape[0])
+    x0, x1, ux = _halfpixel_taps(w_out, img.shape[1])
+    a = img.astype(jnp.float32)
+    rows = a[jnp.asarray(y0)] * (1 - vy)[:, None] + a[jnp.asarray(y1)] * vy[:, None]
+    out = rows[:, jnp.asarray(x0)] * (1 - ux)[None, :] + rows[:, jnp.asarray(x1)] * ux[None, :]
+    return out
+
+
+def upscale_mv(mv: jnp.ndarray, scale: int, mode: str = "shipped") -> jnp.ndarray:
+    """Coarse-to-fine flow seeding (me_test.py:51-63 semantics).
+
+    'shipped' reproduces the reference's max-normalized resize (wrong for
+    all-negative components, div-by-zero if max==0 - fidelity note 8);
+    'fixed' resizes and scales directly.
+    """
+    mv = jnp.asarray(mv)
+    h, w = mv.shape[:2]
+    out_hw = (h * scale, w * scale)
+    u = mv[..., 0].astype(jnp.float32)
+    v = mv[..., 1].astype(jnp.float32)
+    if mode == "shipped":
+        u_max = jnp.max(u)
+        v_max = jnp.max(v)
+        u = resize_bilinear_halfpixel(u / u_max, out_hw) * (u_max * scale)
+        v = resize_bilinear_halfpixel(v / v_max, out_hw) * (v_max * scale)
+    elif mode == "fixed":
+        u = resize_bilinear_halfpixel(u, out_hw) * scale
+        v = resize_bilinear_halfpixel(v, out_hw) * scale
+    else:
+        raise ValueError(mode)
+    return jnp.stack([u, v], axis=-1)
+
+
+def estimate_motion_pyramid(
+    gray0: jnp.ndarray,
+    gray1: jnp.ndarray,
+    levels: int = 3,
+    search_size: int = 15,
+    patch_size: int = 5,
+    seed_mode: str = "fixed",
+):
+    """Coarse-to-fine driver (me_test.py:76-90): returns per-level flows,
+    index 0 = coarsest, last = full resolution."""
+    from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
+
+    pyr0 = gaussian_pyramid(gray0, 2, levels)
+    pyr1 = gaussian_pyramid(gray1, 2, levels)
+    flows = []
+    seed = None
+    for lv in range(levels):
+        mv = estimate_motion_vector(
+            pyr0[lv], pyr1[lv], search_size, patch_size, seed=seed, seed_mode=seed_mode
+        )
+        flows.append(mv)
+        if lv + 1 < levels:
+            seed = upscale_mv(mv, 2, mode=seed_mode)
+    return flows

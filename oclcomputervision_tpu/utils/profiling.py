@@ -1,0 +1,74 @@
+"""Timing helpers.
+
+The reference returned per-dispatch elapsed milliseconds from OpenCL
+event profiling (histeq/eq_opencl.py:6-7). The TPU equivalent keeps the
+same "(result, elapsed_ms)" API shape, using block_until_ready wall time
+under jit; jax.profiler traces can be enabled around any timed region.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Tuple
+
+
+def _block(x: Any) -> None:
+    try:
+        import jax
+
+        jax.block_until_ready(x)
+    except Exception:
+        pass
+
+
+def timed(fn: Callable, *args, **kwargs) -> Tuple[Any, float]:
+    """Run fn(*args, **kwargs), blocking on the result; return (result, ms)."""
+    t0 = time.perf_counter()
+    out = fn(*args, **kwargs)
+    _block(out)
+    return out, (time.perf_counter() - t0) * 1000.0
+
+
+class Timer:
+    """Accumulating wall-clock timer (milliseconds)."""
+
+    def __init__(self) -> None:
+        self.total_ms = 0.0
+        self.count = 0
+
+    @contextlib.contextmanager
+    def measure(self):
+        t0 = time.perf_counter()
+        yield
+        self.total_ms += (time.perf_counter() - t0) * 1000.0
+        self.count += 1
+
+    @property
+    def mean_ms(self) -> float:
+        return self.total_ms / max(self.count, 1)
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Wrap a region in a jax.profiler trace (TPU timeline in TensorBoard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def bench_op(fn: Callable, *args, warmup: int = 2, iters: int = 20) -> float:
+    """Median wall-clock ms of fn(*args) after warmup, blocking each call."""
+    for _ in range(warmup):
+        _block(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _block(fn(*args))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    times.sort()
+    return times[len(times) // 2]
