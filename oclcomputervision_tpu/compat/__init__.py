@@ -1,0 +1,141 @@
+"""Drop-in compatibility layer mirroring the reference's public API.
+
+A user of saturdaycoder/oclComputerVision can import these names with
+the reference's signatures and get numpy results back:
+
+- calc_transfer_func / histeq_global / histeq_local_block
+  (histeq/eq_global.py:10,39, histeq/eq_local_block.py:10)
+- gaussian_pyramid (pyramid/pyramid.py:7)
+- estimate_motion_vector / mv2hsv (motion_estimation/me_pyramid.py:130,7)
+- read_flo / write_flo / upscale_mv (me_test.py:12,27,51)
+- Raisr.upsample(src, dst, scale_factor) (super_resolution/raisr.py:85)
+- Utility.bilinear/bicubic/bilinear_lds/bicubic_lds (basic/interpolation.py)
+
+``use_gpu=True`` routes to the TPU ops; ``use_gpu=False`` to the NumPy
+oracles (the reference's CPU paths). Timing prints are preserved in
+shape ("took GPU: ... ms") but report device wall time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from oclcomputervision_tpu import ops, oracle
+from oclcomputervision_tpu.utils import read_flo, write_flo  # noqa: F401
+from oclcomputervision_tpu.utils.config import RaisrConfig
+from oclcomputervision_tpu.utils.profiling import timed
+
+
+def calc_transfer_func(hist, alpha, punch, clip):
+    return oracle.calc_transfer_func(hist, alpha, punch, clip)
+
+
+def histeq_global(gray, alpha=1, punch=0.05, clip=2, use_gpu=True):
+    if use_gpu:
+        out, ms = timed(ops.histeq_global, gray, float(alpha), float(punch), float(clip))
+        print(
+            "global histogram equalization took GPU: {:.3f} ms".format(ms)
+        )
+        return np.asarray(out)
+    return oracle.histeq_global(gray, alpha, punch, clip)
+
+
+def histeq_local_block(
+    gray, alpha=0.5, punch=0.05, clip=3, blockshape=(256, 256), use_gpu=True
+):
+    if use_gpu:
+        out, ms = timed(
+            ops.histeq_local_block,
+            gray,
+            float(alpha),
+            float(punch),
+            float(clip),
+            tuple(blockshape),
+        )
+        print(
+            "local histogram equalization (block-based) took GPU: {:.3f} ms".format(ms)
+        )
+        return np.asarray(out)
+    return oracle.histeq_local_block(
+        np.array(gray), alpha, punch, clip, blockshape
+    )
+
+
+def gaussian_pyramid(img, scale=2, depth=3):
+    return [np.asarray(p) for p in ops.gaussian_pyramid(img, scale, depth)]
+
+
+def estimate_motion_vector(gray0, gray1, searchSize=15, patchSize=5, seed=None, pyrScale=1):
+    del pyrScale  # display-only in the reference
+    return np.asarray(
+        ops.estimate_motion_vector(gray0, gray1, searchSize, patchSize, seed=seed)
+    )
+
+
+def upscale_mv(mv, scale):
+    return np.asarray(ops.upscale_mv(mv, scale, mode="shipped"))
+
+
+def mv2hsv(mv, scale=1):
+    """Flow -> BGR visualization (me_pyramid.py:7-13)."""
+    import cv2
+
+    mv = np.asarray(mv)
+    mag, ang = cv2.cartToPolar(mv[..., 0], mv[..., 1])
+    hsv = np.zeros((mv.shape[0], mv.shape[1], 3), np.uint8)
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    hsv[..., 1] = 255
+    hsv[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    bgr = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    return cv2.resize(bgr, (hsv.shape[1] * scale, hsv.shape[0] * scale))
+
+
+class Utility:
+    """clUtility-equivalent (basic/interpolation.py:16): dst is filled
+    in place, per-call elapsed-ms list is returned."""
+
+    def _run(self, src, dst, method):
+        out, ms = timed(ops.resize_uint8, src, dst.shape[:2], method)
+        dst[...] = np.asarray(out).reshape(dst.shape)
+        return [ms]
+
+    def bilinear(self, src, dst):
+        return self._run(src, dst, "bilinear")
+
+    def bicubic(self, src, dst):
+        return self._run(src, dst, "bicubic")
+
+    # the reference's LDS variants compute the same align-corners math
+    # as its simple variants (modulo the HW-sampler half-texel quirk,
+    # SURVEY.md fidelity note 11); one TPU kernel serves both names.
+    bilinear_lds = bilinear
+    bicubic_lds = bicubic
+
+
+class Raisr:
+    """ClRaisr-equivalent (super_resolution/raisr.py:18).
+
+    Loads the trained filter bank from assets/raisr_filters_x2.npz
+    (this framework ships + trains its own; the reference's filter.p
+    asset is missing from its repo).
+    """
+
+    def __init__(self, grayMode: int = 0, filters_path: Optional[str] = None,
+                 fidelity: str = "full"):
+        from oclcomputervision_tpu.models.raisr import RaisrModel
+        from oclcomputervision_tpu.utils.assets import asset_path
+
+        self.grayMode = grayMode
+        path = filters_path or asset_path("raisr_filters_x2.npz")
+        self.model = RaisrModel.load(path, fidelity=fidelity)
+
+    def upsample(self, src, dst, scale_factor) -> list:
+        if scale_factor != self.model.cfg.scale:
+            print("Fatal. not trained for scale factor {}".format(scale_factor))
+            return []
+        out, ms = timed(self.model.upsample, src)
+        dst[...] = np.asarray(out).reshape(dst.shape)
+        return [ms]

@@ -1,0 +1,182 @@
+"""TPU-native RAISR super-resolution inference.
+
+Rebuild of the reference's fused mega-kernel (super_resolution/raisr.cl:108-338)
+as one jitted pipeline that XLA fuses on-chip:
+
+  cheap bilinear upscale -> RGB->YUV -> Sobel gradients (conv) ->
+  9x9 Gaussian-weighted structure tensor (separable convs) ->
+  eigenanalysis -> (angle, strength, coherence, pixel-type) hash ->
+  per-pixel filter select from the learned bank -> 11x11 filter -> RGB.
+
+TPU design notes:
+- Gradients and the structure-tensor blur are small convs -> MXU.
+- The per-pixel filter select is a [H*W] gather from the [864, 121]
+  bank; the Pallas kernel path (ops/pallas) replaces it with a one-hot
+  [N, buckets] @ [buckets, 121] matmul that the MXU eats.
+- The 11x11 filter apply is 121 shifted fused multiply-adds (VPU), not
+  a dynamic 2D gather.
+
+Semantics match oracle/raisr.py (see its docstring for the
+'shipped'/'full' fidelity discussion and reference bug list).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oclcomputervision_tpu.oracle import raisr as oracle_raisr
+from oclcomputervision_tpu.utils.config import RaisrConfig
+
+
+def _correlate2d_valid(img: jnp.ndarray, kern_np: np.ndarray) -> jnp.ndarray:
+    """'valid' correlation of [H, W] with a small constant kernel.
+
+    Unrolled as k*k shifted FMAs: cheaper than a real conv dispatch for
+    3x3, and XLA fuses the whole stencil.
+    """
+    kh, kw = kern_np.shape
+    h = img.shape[0] - kh + 1
+    w = img.shape[1] - kw + 1
+    out = jnp.zeros((h, w), img.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            if kern_np[i, j] != 0.0:
+                out = out + jnp.float32(kern_np[i, j]) * jax.lax.slice(
+                    img, (i, j), (i + h, j + w)
+                )
+    return out
+
+
+def _gauss_blur_valid(img: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
+    """Separable 'valid' blur with a 1D kernel (structure-tensor window)."""
+    k = k1d.shape[0]
+    h = img.shape[0] - k + 1
+    out = jnp.zeros((h, img.shape[1]), img.dtype)
+    for i in range(k):
+        out = out + jnp.float32(k1d[i]) * jax.lax.slice(img, (i, 0), (i + h, img.shape[1]))
+    w = img.shape[1] - k + 1
+    out2 = jnp.zeros((h, w), img.dtype)
+    for j in range(k):
+        out2 = out2 + jnp.float32(k1d[j]) * jax.lax.slice(out, (0, j), (h, j + w))
+    return out2
+
+
+def hash_image(up_y: jnp.ndarray, cfg: RaisrConfig) -> jnp.ndarray:
+    """Per-pixel (angle, strength, coherence) bucket [H, W] int32.
+
+    The sigma=2 9x9 Gaussian of the reference (raisr.py:80-82) is
+    separable to fp precision; we blur gx^2/gxgy/gy^2 with the 1D factor
+    on each axis (identical weights, fewer FLOPs than the reference's
+    81-tap accumulation, raisr.cl:265-275).
+    """
+    g = cfg.gauss_len // 2
+    pad = g + 1
+    y = jnp.pad(up_y.astype(jnp.float32), pad, mode="edge")
+    gx = _correlate2d_valid(y, oracle_raisr.SOBEL_X)
+    gy = _correlate2d_valid(y, oracle_raisr.SOBEL_Y)
+
+    w2d = oracle_raisr.gaussian2d((cfg.gauss_len, cfg.gauss_len), cfg.gauss_sigma)
+    # separable factor: w2d = outer(k1, k1) with k1 = w2d[g] / sqrt(w2d[g, g])
+    k1 = w2d[g] / np.sqrt(w2d[g, g])
+
+    a = _gauss_blur_valid(gx * gx, k1)
+    b = _gauss_blur_valid(gx * gy, k1)
+    d = _gauss_blur_valid(gy * gy, k1)
+
+    t = a + d
+    det = a * d - b * b
+    disc = jnp.sqrt(jnp.maximum(t * t / 4.0 - det, 0.0))
+    l1 = t / 2.0 + disc
+    l2 = t / 2.0 - disc
+
+    theta = jnp.arctan2(b, l1 - d)
+    theta = jnp.where(theta < 0, theta + jnp.pi, theta)
+
+    sq1 = jnp.sqrt(jnp.maximum(l1, 0.0))
+    sq2 = jnp.sqrt(jnp.maximum(l2, 0.0))
+    denom = sq1 + sq2
+    coherence = jnp.where(denom != 0, (sq1 - sq2) / jnp.where(denom == 0, 1.0, denom), 0.0)
+
+    angle_idx = jnp.clip(
+        (theta / jnp.pi * cfg.num_angle).astype(jnp.int32), 0, cfg.num_angle - 1
+    )
+    sq = jnp.asarray(cfg.strength_quantizers, jnp.float32)
+    strength_idx = jnp.sum(l1[..., None] >= sq, axis=-1).astype(jnp.int32)
+    cq = jnp.asarray(cfg.coherence_quantizers, jnp.float32)
+    coherence_idx = jnp.sum(coherence[..., None] >= cq, axis=-1).astype(jnp.int32)
+
+    return (angle_idx * cfg.num_strength + strength_idx) * cfg.num_coherence + coherence_idx
+
+
+def pixel_type_map(h: int, w: int, scale: int) -> jnp.ndarray:
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (yy % scale) * scale + (xx % scale)
+
+
+def apply_filters(
+    up: jnp.ndarray, fidx: jnp.ndarray, filters: jnp.ndarray, cfg: RaisrConfig
+) -> jnp.ndarray:
+    """out[p] = sum_q filters[fidx[p], q] * up[p + q - m], all channels."""
+    fl = cfg.filter_len
+    m = fl // 2
+    squeeze = up.ndim == 2
+    x = up[..., None] if squeeze else up
+    h, w = x.shape[:2]
+    xp = jnp.pad(x, ((m, m), (m, m), (0, 0)), mode="edge")
+    sel = jnp.take(filters.reshape(-1, fl * fl), fidx.reshape(-1), axis=0).reshape(
+        h, w, fl * fl
+    )
+    out = jnp.zeros_like(x)
+    for i in range(fl):
+        for j in range(fl):
+            out = out + sel[:, :, i * fl + j, None] * jax.lax.slice(
+                xp, (i, j, 0), (i + h, j + w, x.shape[2])
+            )
+    return out[..., 0] if squeeze else out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gray"))
+def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
+    from oclcomputervision_tpu.ops.interpolation import _resize_plane
+
+    x01 = img_u8.astype(jnp.float32) / 255.0
+    h, w = x01.shape[:2]
+    x3 = x01[..., None] if gray else x01
+    up = _resize_plane(x3, (h * cfg.scale, w * cfg.scale), "bilinear")
+
+    if gray:
+        yuv = up
+    else:
+        yuv = up @ jnp.asarray(oracle_raisr.RGB2YUV.T, jnp.float32)
+
+    if cfg.fidelity == "shipped":
+        out = yuv if gray else yuv @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
+    else:
+        bucket = hash_image(yuv[..., 0], cfg)
+        ptype = pixel_type_map(yuv.shape[0], yuv.shape[1], cfg.scale)
+        fidx = bucket * cfg.num_pixel_type + ptype
+        filtered = apply_filters(yuv, fidx, filters, cfg)
+        out = filtered if gray else filtered @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
+
+    out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+    return out[..., 0] if gray else out
+
+
+def raisr_upsample(
+    img: jnp.ndarray, filters: jnp.ndarray | None, cfg: RaisrConfig = RaisrConfig()
+) -> jnp.ndarray:
+    """RAISR upsample of uint8 [H, W], [H, W, 3], or batched [B, ...]."""
+    img = jnp.asarray(img)
+    if filters is None:
+        filters = jnp.zeros((cfg.num_filters, cfg.filter_len, cfg.filter_len), jnp.float32)
+    filters = jnp.asarray(filters, jnp.float32)
+    gray = img.ndim == 2 or (img.ndim == 3 and img.shape[-1] not in (3, 4))
+    if img.ndim == 2 or (img.ndim == 3 and not gray):
+        return _raisr_2d(img, filters, cfg, img.ndim == 2)
+    # batched
+    return jax.vmap(lambda x: _raisr_2d(x, filters, cfg, x.ndim == 2))(img)

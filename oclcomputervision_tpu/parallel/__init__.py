@@ -1,0 +1,13 @@
+from oclcomputervision_tpu.parallel.mesh import (
+    make_mesh,
+    data_parallel,
+    histeq_global_sharded,
+    raisr_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_parallel",
+    "histeq_global_sharded",
+    "raisr_train_step",
+]

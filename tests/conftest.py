@@ -3,7 +3,8 @@ the whole suite (incl. multi-chip sharding tests) needs no TPU."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment pins JAX_PLATFORMS=axon (TPU tunnel) via a site
+# package, so plain env vars are not enough; jax.config wins.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -12,8 +13,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+# persistent compilation cache: repeated test runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")
