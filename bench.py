@@ -24,7 +24,9 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
 
-    from oclcomputervision_tpu.ops.histeq import histeq_global
+    from oclcomputervision_tpu.ops.pallas.histeq_pallas import (
+        histeq_global_pallas as histeq_global,
+    )
 
     batch, h, w = 8, 768, 1280
     # Timing discipline for the tunneled TPU in this environment:
