@@ -1,0 +1,72 @@
+"""Pyramidal motion-estimation harness (me_test.py equivalent, headless).
+
+Runs the 3-level coarse-to-fine block-matching flow on the Middlebury
+frame10/11 pair, writes layer{0,1,2}.flo like the reference
+(me_test.py:83-92), saves HSV flow visualizations, and - unlike the
+reference, which only compared flows visually - scores every level
+against the flow10.flo ground truth with average endpoint error.
+
+  python examples/me_demo.py [--seed-mode fixed|shipped]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from oclcomputervision_tpu.ops.motion import estimate_motion_pyramid
+    from oclcomputervision_tpu.utils import asset_path, epe, load_gray, read_flo, write_flo
+    from oclcomputervision_tpu.utils.profiling import timed
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed-mode", default="fixed", choices=["fixed", "shipped"])
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--outdir", default="/tmp")
+    args = ap.parse_args()
+
+    g0 = load_gray("frame10.png")
+    g1 = load_gray("frame11.png")
+    gt = read_flo(asset_path("flow10.flo"))
+
+    flows, ms = timed(
+        estimate_motion_pyramid, g0, g1, args.levels, 15, 5, args.seed_mode
+    )
+    print(f"{args.levels}-level pyramid flow: {ms:.1f} ms (incl. compile)")
+
+    print(f"zero-flow EPE baseline: {epe(np.zeros_like(gt), gt):.3f}")
+    for lv, mv in enumerate(flows):
+        mv = np.asarray(mv)
+        scale = 2 ** (len(flows) - 1 - lv)
+        gts = gt[::scale, ::scale] / scale
+        gts = gts[: mv.shape[0], : mv.shape[1]]
+        path = os.path.join(args.outdir, f"layer{lv}.flo")
+        write_flo(mv, path)
+        print(
+            f"layer {lv} {mv.shape[1]}x{mv.shape[0]}: EPE {epe(mv, gts):.3f} -> {path}"
+        )
+        try:
+            import cv2
+
+            from oclcomputervision_tpu.compat import mv2hsv
+
+            cv2.imwrite(os.path.join(args.outdir, f"layer{lv}.png"), mv2hsv(mv, scale))
+        except ImportError:
+            pass
+
+    try:
+        import cv2
+
+        if hasattr(cv2, "optflow"):
+            base = cv2.optflow.calcOpticalFlowSparseToDense(g0, g1)
+            print(f"cv2 sparse-to-dense baseline EPE: {epe(base, gt):.3f}")
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":
+    main()
