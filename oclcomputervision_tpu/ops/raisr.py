@@ -65,14 +65,8 @@ def _gauss_blur_valid(img: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
     return out2
 
 
-def hash_image(up_y: jnp.ndarray, cfg: RaisrConfig) -> jnp.ndarray:
-    """Per-pixel (angle, strength, coherence) bucket [H, W] int32.
-
-    The sigma=2 9x9 Gaussian of the reference (raisr.py:80-82) is
-    separable to fp precision; we blur gx^2/gxgy/gy^2 with the 1D factor
-    on each axis (identical weights, fewer FLOPs than the reference's
-    81-tap accumulation, raisr.cl:265-275).
-    """
+def hash_components(up_y: jnp.ndarray, cfg: RaisrConfig):
+    """Per-pixel (angle_idx, strength_idx, coherence_idx), each [H, W] int32."""
     g = cfg.gauss_len // 2
     pad = g + 1
     y = jnp.pad(up_y.astype(jnp.float32), pad, mode="edge")
@@ -80,7 +74,6 @@ def hash_image(up_y: jnp.ndarray, cfg: RaisrConfig) -> jnp.ndarray:
     gy = _correlate2d_valid(y, oracle_raisr.SOBEL_Y)
 
     w2d = oracle_raisr.gaussian2d((cfg.gauss_len, cfg.gauss_len), cfg.gauss_sigma)
-    # separable factor: w2d = outer(k1, k1) with k1 = w2d[g] / sqrt(w2d[g, g])
     k1 = w2d[g] / np.sqrt(w2d[g, g])
 
     a = _gauss_blur_valid(gx * gx, k1)
@@ -108,7 +101,18 @@ def hash_image(up_y: jnp.ndarray, cfg: RaisrConfig) -> jnp.ndarray:
     strength_idx = jnp.sum(l1[..., None] >= sq, axis=-1).astype(jnp.int32)
     cq = jnp.asarray(cfg.coherence_quantizers, jnp.float32)
     coherence_idx = jnp.sum(coherence[..., None] >= cq, axis=-1).astype(jnp.int32)
+    return angle_idx, strength_idx, coherence_idx
 
+
+def hash_image(up_y: jnp.ndarray, cfg: RaisrConfig) -> jnp.ndarray:
+    """Per-pixel (angle, strength, coherence) bucket [H, W] int32.
+
+    The sigma=2 9x9 Gaussian of the reference (raisr.py:80-82) is
+    separable to fp precision; we blur gx^2/gxgy/gy^2 with the 1D factor
+    on each axis (identical weights, fewer FLOPs than the reference's
+    81-tap accumulation, raisr.cl:265-275).
+    """
+    angle_idx, strength_idx, coherence_idx = hash_components(up_y, cfg)
     return (angle_idx * cfg.num_strength + strength_idx) * cfg.num_coherence + coherence_idx
 
 
@@ -140,6 +144,110 @@ def apply_filters(
     return out[..., 0] if squeeze else out
 
 
+def apply_filters_fast(
+    up: jnp.ndarray,
+    angle_idx: jnp.ndarray,
+    strength_idx: jnp.ndarray,
+    coherence_idx: jnp.ndarray,
+    filters: jnp.ndarray,
+    cfg: RaisrConfig,
+) -> jnp.ndarray:
+    """Gather-free per-pixel filtering, phase-split over pixel types.
+
+    The per-pixel filter select (a [H*W] gather from the [864, 121]
+    bank - raisr.cl:318's pointer arithmetic) is the lane-hostile
+    pattern on TPU. Instead:
+    - the pixel-type axis is static (a scale x scale checkerboard), so
+      the image is deinterleaved into scale^2 phases, each owning one
+      W_t = filters[:, t] slice;
+    - the (angle, strength, coherence) bucket one-hot factorizes as
+      A[24] (x) (S[3] (x) C[3]) - 30 compares + 225 multiplies per
+      pixel instead of 864 compares;
+    - the filter select is then F = onehot216 @ W_t on the MXU, with W_t
+      split into bf16 hi + lo parts (selection rows have exactly one
+      nonzero, so hi+lo reproduces fp32 taps to ~1e-6 relative);
+    - the 11x11 response is 121 shifted strided FMAs of the upscaled
+      image against F's columns (all channels share F).
+    """
+    s = cfg.scale
+    fl = cfg.filter_len
+    m = fl // 2
+    nb = cfg.num_angle * cfg.num_strength * cfg.num_coherence
+    squeeze = up.ndim == 2
+    x = up[..., None] if squeeze else up
+    h, w, c = x.shape
+    xp = jnp.pad(x, ((m, m), (m, m), (0, 0)), mode="edge")
+    # bf16 feeds the MXU on TPU; the XLA CPU backend cannot execute
+    # bf16 x bf16 -> f32 dots, so fall back to fp32 there (exact).
+    sel_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    def phase_onehot(py, px):
+        # one-hot built from the phase's small int32 index maps (slicing
+        # the [h, w, 216] full-res one-hot instead costs 4 strided
+        # passes over ~66MB)
+        ai = angle_idx[py::s, px::s]
+        si = strength_idx[py::s, px::s]
+        ci = coherence_idx[py::s, px::s]
+        a1 = (ai[..., None] == jnp.arange(cfg.num_angle, dtype=jnp.int32)).astype(
+            sel_dtype
+        )
+        s1 = (
+            si[..., None] == jnp.arange(cfg.num_strength, dtype=jnp.int32)
+        ).astype(sel_dtype)
+        c1 = (
+            ci[..., None] == jnp.arange(cfg.num_coherence, dtype=jnp.int32)
+        ).astype(sel_dtype)
+        sc = (s1[..., :, None] * c1[..., None, :]).reshape(ai.shape + (-1,))
+        return (a1[..., :, None] * sc[..., None, :]).reshape(ai.shape + (nb,))
+
+    # bank reorganized as [bucket, pixel_type, taps]
+    wall = filters.reshape(nb, cfg.num_pixel_type, fl * fl).astype(jnp.float32)
+
+    # im2col in ONE conv op (launch count dominates on this runtime; a
+    # 121-slice stack lowers to ~500 copies). Feature order of
+    # conv_general_dilated_patches is (C, fh, fw).
+    h2, w2 = h // s, w // s
+    phase_outs = []
+    for py in range(s):
+        row_outs = []
+        for px in range(s):
+            t = py * s + px
+            oh_t = phase_onehot(py, px).astype(jnp.float32)  # [h2, w2, nb]
+            # Per-phase STRIDED im2col (stride-s windows starting at the
+            # phase offset): slicing a full-res [h, w, 121] patch tensor
+            # with stride s relayouts gigabytes (measured 4x slower).
+            # Feature order of conv_general_dilated_patches is (C, fh, fw).
+            p_t = jax.lax.conv_general_dilated_patches(
+                xp[None, py:, px:],
+                (fl, fl),
+                (s, s),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0, :h2, :w2]  # [h2, w2, c*fl*fl]
+            # All-bucket responses on the MXU, then the one-hot row-dot
+            # selects each pixel's hashed bucket. Per-channel 2D tensors:
+            # a size-1 channel axis interior to the layout pads 8x.
+            chans = []
+            for ch in range(c):
+                r = jnp.einsum(
+                    "ijq,bq->ijb",
+                    p_t[..., ch * fl * fl : (ch + 1) * fl * fl],
+                    wall[:, t],
+                    preferred_element_type=jnp.float32,
+                )
+                chans.append(
+                    jnp.einsum(
+                        "ijb,ijb->ij", r, oh_t, preferred_element_type=jnp.float32
+                    )
+                )
+            row_outs.append(jnp.stack(chans, axis=-1))
+        phase_outs.append(row_outs)
+    # re-interleave: out[s*i+py, s*j+px] = phase_outs[py][px][i, j]
+    stacked = jnp.stack([jnp.stack(r) for r in phase_outs])  # [s, s, h2, w2, c]
+    out = stacked.transpose(2, 0, 3, 1, 4).reshape(h, w, c)
+    return out[..., 0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gray"))
 def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
     from oclcomputervision_tpu.ops.interpolation import _resize_plane
@@ -157,10 +265,8 @@ def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
     if cfg.fidelity == "shipped":
         out = yuv if gray else yuv @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
     else:
-        bucket = hash_image(yuv[..., 0], cfg)
-        ptype = pixel_type_map(yuv.shape[0], yuv.shape[1], cfg.scale)
-        fidx = bucket * cfg.num_pixel_type + ptype
-        filtered = apply_filters(yuv, fidx, filters, cfg)
+        ai, si, ci = hash_components(yuv[..., 0], cfg)
+        filtered = apply_filters_fast(yuv, ai, si, ci, filters, cfg)
         out = filtered if gray else filtered @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
 
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
@@ -179,4 +285,7 @@ def raisr_upsample(
     if img.ndim == 2 or (img.ndim == 3 and not gray):
         return _raisr_2d(img, filters, cfg, img.ndim == 2)
     # batched
-    return jax.vmap(lambda x: _raisr_2d(x, filters, cfg, x.ndim == 2))(img)
+    # lax.map (sequential per image), NOT vmap: vmapping the phase
+    # deinterleave/stack stacks tiny [1, H, W] slices whose padded
+    # layout blows HBM by 128x.
+    return jax.lax.map(lambda x: _raisr_2d(x, filters, cfg, x.ndim == 2), img)
