@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(
@@ -52,7 +56,7 @@ def data_parallel(fn, mesh: Mesh, axis: str = "data"):
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -84,7 +88,7 @@ def histeq_global_sharded(
 
     sharded = shard_map(
         shard_fn, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     return sharded(gray)
 
@@ -144,6 +148,6 @@ def raisr_train_step(
         mesh=mesh,
         in_specs=(P(dp_axis), P(dp_axis), P(dp_axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return sharded(ps, ts, fs)

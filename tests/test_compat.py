@@ -1,0 +1,110 @@
+"""Compat layer: the reference's public API shapes and semantics."""
+
+import numpy as np
+import pytest
+
+from oclcomputervision_tpu import compat, oracle
+
+
+class TestHisteqCompat:
+    def test_histeq_global_gpu_vs_cpu_paths(self, under_exposure_gray, capsys):
+        g = under_exposure_gray[:128, :256]
+        gpu = compat.histeq_global(g, 1, 0.05, 2, use_gpu=True)
+        assert "histogram equalization took GPU" in capsys.readouterr().out
+        cpu = compat.histeq_global(g, 1, 0.05, 2, use_gpu=False)
+        assert np.abs(gpu.astype(int) - cpu.astype(int)).max() <= 1
+
+    def test_local_block_defaults(self, under_exposure_gray):
+        g = under_exposure_gray[:512, :1024]
+        out = compat.histeq_local_block(g.copy())
+        assert out.shape == g.shape and out.dtype == np.uint8
+
+    def test_calc_transfer_func_matches_oracle(self, lenna_gray):
+        hist = np.bincount(lenna_gray.reshape(-1), minlength=256)
+        np.testing.assert_array_equal(
+            compat.calc_transfer_func(hist, 1, 0.05, 2),
+            oracle.calc_transfer_func(hist, 1, 0.05, 2),
+        )
+
+
+class TestUtilityCompat:
+    def test_bicubic_fills_dst_and_returns_elapsed(self, lenna_rgb):
+        util = compat.Utility()
+        src = lenna_rgb[:64, :64]
+        dst = np.zeros((128, 128, 3), np.uint8)
+        ms = util.bicubic(src, dst)
+        assert isinstance(ms, list) and len(ms) == 1
+        assert dst.mean() > 10  # actually written
+        # lds aliases exist (reference API parity)
+        assert util.bicubic_lds == util.bicubic  # same TPU kernel
+
+    def test_bilinear(self, lenna_gray):
+        util = compat.Utility()
+        src = np.stack([lenna_gray[:32, :32]] * 3, axis=-1)
+        dst = np.zeros((64, 64, 3), np.uint8)
+        util.bilinear(src, dst)
+        from oclcomputervision_tpu.oracle.interpolation import resize_uint8
+
+        want = resize_uint8(src, (64, 64), "bilinear")
+        assert np.abs(dst.astype(int) - want.astype(int)).max() <= 1
+
+
+class TestMotionCompat:
+    def test_estimate_motion_vector_signature(self, frames_gray):
+        g0, g1 = frames_gray
+        mv = compat.estimate_motion_vector(
+            g0[:32, :48], g1[:32, :48], searchSize=15, patchSize=5, pyrScale=2
+        )
+        assert mv.shape == (32, 48, 2) and mv.dtype == np.float32
+
+    def test_upscale_mv(self):
+        mv = np.random.default_rng(0).uniform(0.5, 2, (8, 10, 2)).astype(np.float32)
+        up = compat.upscale_mv(mv, 2)
+        assert up.shape == (16, 20, 2)
+
+    def test_flo_roundtrip(self, tmp_path, flow_gt):
+        p = str(tmp_path / "x.flo")
+        compat.write_flo(flow_gt, p)
+        np.testing.assert_array_equal(compat.read_flo(p), flow_gt)
+
+
+class TestRaisrCompat:
+    def test_upsample_api(self, lenna_gray):
+        r = compat.Raisr(0)
+        src = lenna_gray[:64, :64]
+        dst = np.zeros((128, 128), np.uint8)
+        ms = r.upsample(src, dst, 2)
+        assert len(ms) == 1 and dst.std() > 5
+
+    def test_wrong_scale_prints_fatal(self, lenna_gray, capsys):
+        r = compat.Raisr(0)
+        out = r.upsample(lenna_gray[:16, :16], np.zeros((48, 48), np.uint8), 3)
+        assert out == []
+        assert "Fatal" in capsys.readouterr().out
+
+
+class TestPipeline:
+    def test_enhance_pipeline(self, under_exposure_gray):
+        from oclcomputervision_tpu.models.pipeline import EnhanceConfig, EnhancePipeline
+
+        g = under_exposure_gray[:256, :512]
+        pipe = EnhancePipeline(EnhanceConfig(resize_to=(128, 256), pyramid_depth=2))
+        out, pyr = pipe(g)
+        assert out.shape == (128, 256)
+        assert [p.shape for p in pyr] == [(64, 128), (128, 256)]
+
+    def test_sharded_pipeline_matches(self, under_exposure_gray):
+        import jax
+
+        from oclcomputervision_tpu import parallel
+        from oclcomputervision_tpu.models.pipeline import EnhanceConfig, EnhancePipeline
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        g = under_exposure_gray[:128, :256]
+        batch = np.stack([np.roll(g, i, 0) for i in range(8)])
+        pipe = EnhancePipeline(EnhanceConfig())
+        mesh = parallel.make_mesh((8,), ("data",))
+        got = np.asarray(pipe.sharded(mesh)(batch))
+        want = np.asarray(pipe(batch))
+        np.testing.assert_array_equal(got, want)
