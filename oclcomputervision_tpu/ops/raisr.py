@@ -266,7 +266,21 @@ def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
         out = yuv if gray else yuv @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
     else:
         ai, si, ci = hash_components(yuv[..., 0], cfg)
-        filtered = apply_filters_fast(yuv, ai, si, ci, filters, cfg)
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: responses + one-hot select stay in
+            # VMEM (the XLA path materializes ~GBs of [N, 216] tensors)
+            from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+                apply_filters_pallas,
+            )
+
+            bucket = (ai * cfg.num_strength + si) * cfg.num_coherence + ci
+            chans = [
+                apply_filters_pallas(yuv[..., ch], bucket, filters, cfg)
+                for ch in range(yuv.shape[-1])
+            ]
+            filtered = jnp.stack(chans, axis=-1)
+        else:
+            filtered = apply_filters_fast(yuv, ai, si, ci, filters, cfg)
         out = filtered if gray else filtered @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
 
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)

@@ -62,3 +62,54 @@ class TestFusedHisteq:
         img = rng.integers(0, 256, size=(100, 100), dtype=np.uint8)
         with pytest.raises(AssertionError):
             histeq_global_pallas(img, interpret=True)
+
+
+class TestRaisrApplyKernel:
+    def test_matches_reference_apply(self, rng):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.oracle import raisr as onp
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import apply_filters_pallas
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        h, w = 128, 256
+        up = rng.random((h, w)).astype(np.float32)
+        bucket = rng.integers(0, 216, size=(h, w)).astype(np.int32)
+        filters = (rng.standard_normal((cfg.num_filters, 11, 11)) * 0.05).astype(
+            np.float32
+        )
+        got = np.asarray(
+            apply_filters_pallas(
+                jnp.asarray(up), jnp.asarray(bucket), jnp.asarray(filters), cfg,
+                interpret=True,
+            )
+        )
+        fidx = bucket * 4 + onp.pixel_type_map(h, w, 2)
+        want = onp.apply_filters(up.astype(np.float64), fidx, filters, cfg)
+        # bf16 taps/patches: ~0.3% relative response error by design
+        assert np.abs(got - want).max() < 0.01
+
+    def test_unaligned_geometry_padded(self, rng):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.oracle import raisr as onp
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import apply_filters_pallas
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        h, w = 96, 200  # h2, w2 not tile/lane aligned
+        up = rng.random((h, w)).astype(np.float32)
+        bucket = rng.integers(0, 216, size=(h, w)).astype(np.int32)
+        filters = (rng.standard_normal((cfg.num_filters, 11, 11)) * 0.05).astype(
+            np.float32
+        )
+        got = np.asarray(
+            apply_filters_pallas(
+                jnp.asarray(up), jnp.asarray(bucket), jnp.asarray(filters), cfg,
+                interpret=True,
+            )
+        )
+        fidx = bucket * 4 + onp.pixel_type_map(h, w, 2)
+        want = onp.apply_filters(up.astype(np.float64), fidx, filters, cfg)
+        assert np.abs(got - want).max() < 0.01
