@@ -26,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed-mode", default="fixed", choices=["fixed", "shipped"])
     ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--method", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--smooth", type=int, default=0,
+                    help="median-filter kernel between levels (0=off; 9 halves EPE)")
     ap.add_argument("--outdir", default="/tmp")
     args = ap.parse_args()
 
@@ -34,7 +37,8 @@ def main():
     gt = read_flo(asset_path("flow10.flo"))
 
     flows, ms = timed(
-        estimate_motion_pyramid, g0, g1, args.levels, 15, 5, args.seed_mode
+        estimate_motion_pyramid, g0, g1, args.levels, 15, 5, args.seed_mode,
+        args.method, args.smooth,
     )
     print(f"{args.levels}-level pyramid flow: {ms:.1f} ms (incl. compile)")
 

@@ -94,6 +94,86 @@ def _estimate_2d(gray0, gray1, seed, search_size, patch_size, seed_mode, has_see
     return jnp.stack([u, v], axis=-1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("search_size", "patch_size", "seed_mode", "has_seed")
+)
+def _estimate_2d_fast(gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed):
+    """Warp-based approximate search: one gather per round.
+
+    Instead of gathering a per-pixel candidate window (exact path,
+    lane-hostile on TPU), each round warps frame1 by the current
+    displacement field ONCE, then evaluates the 3x3 candidate offsets
+    with statically-shifted absolute differences box-filtered to patch
+    sums (separable adds on the VPU). The candidate cost uses the
+    neighbor's displacement at the window edge (w1[p+o+q] carries
+    d(p+o+q), not d(p)), so results are not bit-identical to the exact
+    search, but quality on smooth fields matches (EPE parity on the
+    Middlebury pair) at ~40x the speed.
+    """
+    h, w = gray0.shape
+    pm = patch_size // 2
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ys = ys.astype(jnp.int32)
+    xs = xs.astype(jnp.int32)
+
+    if has_seed:
+        seed_u = seed[..., 0].astype(jnp.float32)
+        seed_v = seed[..., 1].astype(jnp.float32)
+    else:
+        seed_u = jnp.zeros((h, w), jnp.float32)
+        seed_v = jnp.zeros((h, w), jnp.float32)
+
+    dy = jnp.trunc(seed_v).astype(jnp.int32)
+    dx = jnp.trunc(seed_u).astype(jnp.int32)
+    f0 = gray0.astype(jnp.int32)
+
+    def boxsum(img):
+        # separable (2*pm+1)-tap sum with zero padding
+        p = jnp.pad(img, ((pm, pm), (0, 0)))
+        v = jnp.zeros_like(img)
+        for k in range(patch_size):
+            v = v + jax.lax.slice(p, (k, 0), (k + h, w))
+        p = jnp.pad(v, ((0, 0), (pm, pm)))
+        o = jnp.zeros_like(img)
+        for k in range(patch_size):
+            o = o + jax.lax.slice(p, (0, k), (h, k + w))
+        return o
+
+    def median3x3(a):
+        # 3x3 median (edge-replicated) regularizes the warp feedback
+        p = jnp.pad(a, 1, mode="edge")
+        stack = jnp.stack(
+            [
+                jax.lax.slice(p, (i, j), (i + h, j + w))
+                for i in range(3)
+                for j in range(3)
+            ]
+        )
+        return jnp.sort(stack, axis=0)[4]
+
+    for step in me_steps(search_size, patch_size):
+        w1 = _gather_padded_u8(gray1, ys + dy, xs + dx).astype(jnp.int32)
+        w1p = jnp.pad(w1, ((step, step), (step, step)))
+        sads = []
+        for iy, oy in enumerate((-step, 0, step)):
+            for ix, ox in enumerate((-step, 0, step)):
+                shifted = jax.lax.slice(
+                    w1p, (step + oy, step + ox), (step + oy + h, step + ox + w)
+                )
+                sads.append(boxsum(jnp.abs(f0 - shifted)))
+        best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
+        dy = median3x3(dy + (best // 3 - 1) * step)
+        dx = median3x3(dx + (best % 3 - 1) * step)
+
+    du = dx.astype(jnp.float32)
+    dv = dy.astype(jnp.float32)
+    if seed_mode == "shipped":
+        u, v = seed_u + du, seed_v + dv
+    else:
+        u, v = du, dv
+    return jnp.stack([u, v], axis=-1)
+
+
 def estimate_motion_vector(
     gray0: jnp.ndarray,
     gray1: jnp.ndarray,
@@ -101,23 +181,27 @@ def estimate_motion_vector(
     patch_size: int = 5,
     seed: Optional[jnp.ndarray] = None,
     seed_mode: str = "shipped",
+    method: str = "exact",
 ) -> jnp.ndarray:
     """Dense integer block-matching flow [H, W, 2] (u=x, v=y) float32.
 
     Defaults match me_pyramid.py:130. Accepts [H, W] or batched [B, H, W]
-    frames (seed batched alike).
+    frames (seed batched alike). ``method='exact'`` is bit-identical to
+    the reference search; ``method='fast'`` uses the warp-based
+    approximation (~40x faster on TPU, EPE parity on Middlebury).
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
     has_seed = seed is not None
+    impl = {"exact": _estimate_2d, "fast": _estimate_2d_fast}[method]
     s = jnp.asarray(seed) if has_seed else jnp.zeros((1,), jnp.float32)
     if gray0.ndim == 3:
         return jax.vmap(
-            lambda g0, g1, sd: _estimate_2d(
+            lambda g0, g1, sd: impl(
                 g0, g1, sd, search_size, patch_size, seed_mode, has_seed
             )
         )(gray0, gray1, s if has_seed else jnp.zeros((gray0.shape[0], 1), jnp.float32))
-    return _estimate_2d(gray0, gray1, s, search_size, patch_size, seed_mode, has_seed)
+    return impl(gray0, gray1, s, search_size, patch_size, seed_mode, has_seed)
 
 
 def _halfpixel_taps(n_out: int, n_in: int):
@@ -170,6 +254,26 @@ def upscale_mv(mv: jnp.ndarray, scale: int, mode: str = "shipped") -> jnp.ndarra
     return jnp.stack([u, v], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def median_filter_flow(mv: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+    """k x k per-component median filter of a [H, W, 2] flow field.
+
+    Per-pixel integer SAD matching is noisy (the reference never
+    regularized it); a median between pyramid levels roughly HALVES the
+    endpoint error on the Middlebury pair (7.6 -> 3.4 EPE at k=9).
+    """
+    h, w = mv.shape[:2]
+    p = jnp.pad(mv, ((k // 2, k // 2), (k // 2, k // 2), (0, 0)), mode="edge")
+    stack = jnp.stack(
+        [
+            jax.lax.slice(p, (i, j, 0), (i + h, j + w, 2))
+            for i in range(k)
+            for j in range(k)
+        ]
+    )
+    return jnp.sort(stack, axis=0)[k * k // 2]
+
+
 def estimate_motion_pyramid(
     gray0: jnp.ndarray,
     gray1: jnp.ndarray,
@@ -177,9 +281,16 @@ def estimate_motion_pyramid(
     search_size: int = 15,
     patch_size: int = 5,
     seed_mode: str = "fixed",
+    method: str = "exact",
+    smooth: int = 0,
 ):
     """Coarse-to-fine driver (me_test.py:76-90): returns per-level flows,
-    index 0 = coarsest, last = full resolution."""
+    index 0 = coarsest, last = full resolution.
+
+    ``smooth`` > 0 median-filters each level's flow (kernel size
+    ``smooth``) before seeding the next level and on the final output -
+    a quality extension over the reference (see median_filter_flow).
+    """
     from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
 
     pyr0 = gaussian_pyramid(gray0, 2, levels)
@@ -188,8 +299,11 @@ def estimate_motion_pyramid(
     seed = None
     for lv in range(levels):
         mv = estimate_motion_vector(
-            pyr0[lv], pyr1[lv], search_size, patch_size, seed=seed, seed_mode=seed_mode
+            pyr0[lv], pyr1[lv], search_size, patch_size, seed=seed,
+            seed_mode=seed_mode, method=method,
         )
+        if smooth > 0:
+            mv = median_filter_flow(mv, smooth)
         flows.append(mv)
         if lv + 1 < levels:
             seed = upscale_mv(mv, 2, mode=seed_mode)

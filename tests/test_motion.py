@@ -99,3 +99,37 @@ class TestQuality:
         # Per-pixel integer SAD block matching (the reference's algorithm)
         # is noisy; require it to beat the zero-flow baseline clearly.
         assert err < 0.9 * zero_err, f"EPE {err} vs zero-flow {zero_err}"
+
+
+class TestFastAndSmooth:
+    def test_fast_mode_recovers_shift(self):
+        import cv2
+
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+        base = cv2.GaussianBlur(base, (9, 9), 3)
+        f0 = base[8:40, 8:56]
+        f1 = base[10:42, 11:59]
+        mv = np.asarray(ops.estimate_motion_vector(f0, f1, 15, 5, method="fast"))
+        inner = mv[8:-8, 8:-8]
+        assert np.median(inner[..., 0]) == -3
+        assert np.median(inner[..., 1]) == -2
+
+    def test_median_filter_flow(self):
+        mv = np.zeros((16, 16, 2), np.float32)
+        mv[8, 8] = (50, -50)  # salt outlier
+        out = np.asarray(ops.median_filter_flow(mv, 3))
+        assert np.all(out == 0)
+
+    def test_smooth_pyramid_improves_epe(self, frames_gray, flow_gt):
+        import cv2
+
+        g0, g1 = frames_gray
+        g0s, g1s = cv2.pyrDown(g0), cv2.pyrDown(g1)
+        gt = np.asarray(flow_gt)[::2, ::2] / 2.0
+        raw = ops.estimate_motion_pyramid(g0s, g1s, 2, seed_mode="fixed")
+        sm = ops.estimate_motion_pyramid(g0s, g1s, 2, seed_mode="fixed", smooth=9)
+        mv_r = np.asarray(raw[-1])
+        mv_s = np.asarray(sm[-1])
+        gt = gt[: mv_r.shape[0], : mv_r.shape[1]]
+        assert epe(mv_s, gt) < epe(mv_r, gt)
