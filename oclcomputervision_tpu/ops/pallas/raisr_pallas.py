@@ -154,21 +154,18 @@ def apply_filters_pallas(
     h2p = -(-h2 // TILE_H) * TILE_H
 
     xp = jnp.pad(up_y.astype(jnp.float32), ((m, m), (m, m)), mode="edge")
-    # parity planes, padded to [h2p + HALO_ROWS, w2p + 128]
-    planes = []
-    for a in range(s):
-        for b in range(s):
-            pln = xp[a::s, b::s]
-            planes.append(
-                jnp.pad(
-                    pln,
-                    (
-                        (0, h2p + HALO_ROWS - pln.shape[0]),
-                        (0, w2p + 128 - pln.shape[1]),
-                    ),
-                )
-            )
-    planes = jnp.stack(planes)
+    # parity-plane deinterleave via reshape+transpose: stride-s slices
+    # relayout lane-by-lane (measured 11x slower than one transpose)
+    hq, wq = h2p + HALO_ROWS, w2p + 128
+    xpz = jnp.pad(
+        xp, ((0, s * hq - xp.shape[0]), (0, s * wq - xp.shape[1]))
+    )
+    planes = (
+        xpz.reshape(hq, s, wq, s).transpose(1, 3, 0, 2).reshape(s * s, hq, wq)
+    )
+
+    bz = jnp.pad(bucket, ((0, s * h2p - h), (0, s * w2p - w)))
+    bdeint = bz.reshape(h2p, s, w2p, s).transpose(1, 3, 0, 2)
 
     wall = filters.reshape(nb, cfg.num_pixel_type, fl * fl)
     out_phases = []
@@ -178,10 +175,7 @@ def apply_filters_pallas(
             t = py * s + px
             wmat = jnp.zeros((NB_PAD, 128), jnp.float32)
             wmat = wmat.at[:nb, : fl * fl].set(wall[:, t])
-            b_t = jnp.pad(
-                bucket[py::s, px::s],
-                ((0, h2p - h2), (0, w2p - w2)),
-            )
+            b_t = bdeint[py, px]
             o = _apply_phase(
                 planes, b_t, wmat.astype(jnp.bfloat16), fl, s, py, px, interpret
             )
