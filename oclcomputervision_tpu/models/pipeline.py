@@ -50,6 +50,7 @@ class EnhancePipeline:
 
         cfg = self.cfg
         x = gray
+        batched = x.ndim == 3  # [B, H, W] luma stack
         if cfg.equalize == "global":
             h = cfg.histeq
             x = histeq_global(x, h.alpha, h.punch, h.clip)
@@ -57,8 +58,21 @@ class EnhancePipeline:
             l = cfg.local
             x = histeq_local_block(x, l.alpha, l.punch, l.clip, l.blockshape)
         if cfg.resize_to is not None:
-            x = resize_uint8(x, cfg.resize_to, cfg.resize_method)
+            # resize() reads rank-3 as [H, W, C]; batched luma stacks
+            # must map over the batch axis explicitly
+            if batched:
+                x = jax.vmap(
+                    lambda im: resize_uint8(im, cfg.resize_to, cfg.resize_method)
+                )(x)
+            else:
+                x = resize_uint8(x, cfg.resize_to, cfg.resize_method)
         if cfg.pyramid_depth > 0:
+            if batched:
+                # per-level tuple, each with a leading batch axis
+                pyr = jax.vmap(
+                    lambda im: tuple(gaussian_pyramid(im, 2, cfg.pyramid_depth))
+                )(x)
+                return x, list(pyr)
             return x, gaussian_pyramid(x, 2, cfg.pyramid_depth)
         return x
 

@@ -7,15 +7,15 @@ transfer-function LUT -> LUT gather, all resident on device.
 
 TPU design notes:
 - Histograms have no LDS scatter-add analogue on TPU (hist.cl:69-75's
-  per-thread LDS histogram). We build them as one-hot compare + reduce,
-  which XLA fuses into a VPU compare/accumulate sweep; the Pallas kernel
-  (ops/pallas/hist_kernel.py) tiles the same formulation through VMEM
-  and feeds the MXU with a one-hot matmul.
+  per-thread LDS histogram). We build them from hi/lo nibble one-hots
+  contracted on the MXU; the Pallas twin
+  (ops/pallas/histeq_pallas.py) runs the same formulation per VMEM tile.
 - The transfer function (eq_global.py:10-37 semantics) is 256-wide
   vector math, computed in float32 natively batched over blocks - the
   fusion the reference left as a TODO (eq_local_block.py:20).
-- LUT application is a 256-entry gather; the local-block variant blends
-  the 4 nearest block LUTs bilinearly (hist.cl:104-147 semantics).
+- LUT application is gather-free (nibble matmul + 16-wide row dot);
+  the local-block variant blends the 4 nearest block LUTs bilinearly
+  (hist.cl:104-147 semantics) over half-block-aligned tiles.
 """
 
 from __future__ import annotations
@@ -25,9 +25,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
-
-_NIB = None
 
 
 def _nibble_onehots(x: jnp.ndarray):

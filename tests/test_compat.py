@@ -108,3 +108,17 @@ class TestPipeline:
         got = np.asarray(pipe.sharded(mesh)(batch))
         want = np.asarray(pipe(batch))
         np.testing.assert_array_equal(got, want)
+
+    def test_batched_pipeline_resizes_each_image(self, under_exposure_gray):
+        # regression: rank-3 [B, H, W] stacks must not be interpreted as
+        # [H, W, C] by the resize/pyramid stages
+        from oclcomputervision_tpu.models.pipeline import EnhanceConfig, EnhancePipeline
+
+        g = under_exposure_gray[:256, :512]
+        batch = np.stack([g, g[::-1].copy()])
+        pipe = EnhancePipeline(EnhanceConfig(resize_to=(128, 256), pyramid_depth=2))
+        out, pyr = pipe(batch)
+        assert out.shape == (2, 128, 256)
+        assert [p.shape for p in pyr] == [(2, 64, 128), (2, 128, 256)]
+        single, _ = pipe(batch[0])
+        np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(single))
