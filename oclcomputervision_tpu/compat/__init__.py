@@ -93,6 +93,51 @@ def mv2hsv(mv, scale=1):
     return cv2.resize(bgr, (hsv.shape[1] * scale, hsv.shape[0] * scale))
 
 
+class HistEq:
+    """clHistEq-equivalent device runtime (histeq/eq_opencl.py:8).
+
+    Methods mirror the reference's L1 API: each returns
+    (numpy array, elapsed_ms). getInstance() keeps the singleton shape
+    (the TPU runtime needs no context, but callers may depend on it).
+    """
+
+    _inst = None
+
+    def __init__(self):
+        self.histBins = 256
+        self.histThreads = 32
+
+    @classmethod
+    def getInstance(cls):
+        if cls._inst is None:
+            cls._inst = HistEq()
+        return cls._inst
+
+    def histGrid(self, gray) -> Tuple[np.ndarray, float]:
+        out, ms = timed(ops.hist_grid, gray, (self.histThreads, self.histBins))
+        return np.asarray(out).astype(np.uint32), ms
+
+    def histeqGlobal(self, gray, mapping) -> Tuple[np.ndarray, float]:
+        from oclcomputervision_tpu.ops.histeq import apply_lut
+
+        out, ms = timed(apply_lut, np.asarray(gray), np.asarray(mapping, np.uint8))
+        return np.asarray(out), ms
+
+    def histeqLocalBlock(self, gray, mappings, blockshape) -> Tuple[np.ndarray, float]:
+        from oclcomputervision_tpu.ops.histeq import apply_block_mappings
+
+        out, ms = timed(
+            apply_block_mappings,
+            np.asarray(gray),
+            np.asarray(mappings, np.float32),
+            tuple(blockshape),
+        )
+        return np.asarray(out), ms
+
+
+clHistEq = HistEq  # reference class name alias
+
+
 class Utility:
     """clUtility-equivalent (basic/interpolation.py:16): dst is filled
     in place, per-call elapsed-ms list is returned."""

@@ -8,6 +8,7 @@ bit-matching) and a 'fixed' variant (documented per function).
 """
 
 from oclcomputervision_tpu.oracle.histeq import (
+    apply_block_mappings,
     calc_transfer_func,
     hist_grid,
     histeq_global,
@@ -18,6 +19,7 @@ from oclcomputervision_tpu.oracle.pyramid import gaussian_pyramid, pyr_down
 from oclcomputervision_tpu.oracle.motion import estimate_motion_vector, upscale_mv
 
 __all__ = [
+    "apply_block_mappings",
     "calc_transfer_func",
     "hist_grid",
     "histeq_global",

@@ -122,3 +122,39 @@ class TestPipeline:
         assert [p.shape for p in pyr] == [(2, 64, 128), (2, 128, 256)]
         single, _ = pipe(batch[0])
         np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(single))
+
+
+class TestHistEqRuntime:
+    def test_clHistEq_api(self, under_exposure_gray):
+        from oclcomputervision_tpu import oracle
+
+        cleq = compat.clHistEq.getInstance()
+        assert cleq is compat.HistEq.getInstance()
+        g = under_exposure_gray[:256, :512]
+        grid, ms = cleq.histGrid(g)
+        assert grid.shape == (8, 2, 256) and grid.dtype == np.uint32
+        np.testing.assert_array_equal(grid, oracle.hist_grid(g, (32, 256)))
+        hist = grid.sum(axis=(0, 1))
+        mapping = oracle.calc_transfer_func(hist, 1, 0.05, 2).astype(np.uint8)
+        eq, ms = cleq.histeqGlobal(g, mapping)
+        np.testing.assert_array_equal(eq, mapping[g])
+        mappings = np.stack(
+            [
+                np.stack(
+                    [
+                        oracle.calc_transfer_func(
+                            np.bincount(
+                                g[i * 128 : (i + 1) * 128, j * 256 : (j + 1) * 256].reshape(-1),
+                                minlength=256,
+                            ),
+                            0.5, 0.05, 3,
+                        )
+                        for j in range(2)
+                    ]
+                )
+                for i in range(2)
+            ]
+        )
+        leq, ms = cleq.histeqLocalBlock(g, mappings, (128, 256))
+        want = oracle.apply_block_mappings(g, mappings.astype(np.float32), (128, 256))
+        assert np.abs(leq.astype(int) - want.astype(int)).max() <= 1
