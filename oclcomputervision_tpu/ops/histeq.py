@@ -99,6 +99,17 @@ def calc_transfer_func(
     return mapping
 
 
+def clip_histogram(hist: jnp.ndarray, clip_limit: float) -> jnp.ndarray:
+    """CLAHE contrast limiting (batched over leading dims): cap bins at
+    clip_limit * mean-count, redistribute the excess uniformly."""
+    hist = hist.astype(jnp.float32)
+    n = hist.shape[-1]
+    limit = clip_limit * jnp.sum(hist, axis=-1, keepdims=True) / n
+    clipped = jnp.minimum(hist, limit)
+    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
+    return clipped + excess / n
+
+
 def apply_lut(gray: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel LUT apply: out[p] = lut[gray[p]] (hist.cl:92-102).
 
@@ -150,13 +161,17 @@ def block_mappings(
     punch: float,
     clip: float,
     blockshape: Tuple[int, int],
+    clahe_clip: float = 0.0,
 ) -> jnp.ndarray:
     """Per-block transfer LUTs [nby, nbx, 256], built entirely on device.
 
     Fuses what the reference did in a Python double loop on host
     (eq_local_block.py:22-27) into one batched calc_transfer_func.
+    ``clahe_clip`` > 0 applies CLAHE contrast limiting per block first.
     """
     grid = hist_grid(gray, tile=blockshape)
+    if clahe_clip > 0:
+        grid = clip_histogram(grid, clahe_clip)
     return calc_transfer_func(grid, alpha, punch, clip)
 
 
@@ -225,9 +240,11 @@ def apply_block_mappings(
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "punch", "clip", "blockshape"))
-def _histeq_local_2d(gray, alpha, punch, clip, blockshape):
-    mappings = block_mappings(gray, alpha, punch, clip, blockshape)
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "punch", "clip", "blockshape", "clahe_clip")
+)
+def _histeq_local_2d(gray, alpha, punch, clip, blockshape, clahe_clip=0.0):
+    mappings = block_mappings(gray, alpha, punch, clip, blockshape, clahe_clip)
     return apply_block_mappings(gray, mappings, blockshape)
 
 
@@ -237,6 +254,7 @@ def histeq_local_block(
     punch: float = 0.05,
     clip: float = 3.0,
     blockshape: Tuple[int, int] = (256, 256),
+    clahe_clip: float = 0.0,
 ) -> jnp.ndarray:
     """Local-block (CLAHE-style) histeq of uint8 [H, W] or [B, H, W].
 
@@ -250,5 +268,7 @@ def histeq_local_block(
     gray = jnp.asarray(gray)
     bs = tuple(blockshape)
     if gray.ndim == 3:
-        return jax.vmap(lambda g: _histeq_local_2d(g, alpha, punch, clip, bs))(gray)
-    return _histeq_local_2d(gray, alpha, punch, clip, bs)
+        return jax.vmap(
+            lambda g: _histeq_local_2d(g, alpha, punch, clip, bs, clahe_clip)
+        )(gray)
+    return _histeq_local_2d(gray, alpha, punch, clip, bs, clahe_clip)

@@ -10,6 +10,7 @@ bit-matching) and a 'fixed' variant (documented per function).
 from oclcomputervision_tpu.oracle.histeq import (
     apply_block_mappings,
     calc_transfer_func,
+    clip_histogram,
     hist_grid,
     histeq_global,
     histeq_local_block,
@@ -21,6 +22,7 @@ from oclcomputervision_tpu.oracle.motion import estimate_motion_vector, upscale_
 __all__ = [
     "apply_block_mappings",
     "calc_transfer_func",
+    "clip_histogram",
     "hist_grid",
     "histeq_global",
     "histeq_local_block",

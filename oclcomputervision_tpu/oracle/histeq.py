@@ -54,6 +54,20 @@ def calc_transfer_func(
     return mapping.astype(np.float32)
 
 
+def clip_histogram(hist: np.ndarray, clip_limit: float) -> np.ndarray:
+    """CLAHE contrast limiting: cap bins at ``clip_limit`` * mean-count
+    and redistribute the excess uniformly (single pass, cv2-style).
+
+    The reference never implemented this - it only benchmarked against
+    cv2.createCLAHE (histeq_test.py:61); this is the capability filled in.
+    """
+    hist = np.asarray(hist, dtype=np.float64)
+    limit = clip_limit * hist.sum() / hist.shape[0]
+    clipped = np.minimum(hist, limit)
+    excess = hist.sum() - clipped.sum()
+    return clipped + excess / hist.shape[0]
+
+
 def hist_grid(gray: np.ndarray, tile=(32, 256), bins: int = 256) -> np.ndarray:
     """Per-tile histogram grid, uint32 [H//th, W//tw, bins].
 
@@ -92,6 +106,7 @@ def histeq_local_block(
     clip: float = 3.0,
     blockshape=(256, 256),
     dtype=np.float64,
+    clahe_clip: float = 0.0,
 ) -> np.ndarray:
     """Local-block (CLAHE-style) histeq (eq_local_block.py:10-78).
 
@@ -107,6 +122,8 @@ def histeq_local_block(
         for j in range(nbx):
             blk = gray[i * block_h : (i + 1) * block_h, j * block_w : (j + 1) * block_w]
             bh, _ = np.histogram(blk, bins=256, range=(0, 256))
+            if clahe_clip > 0:
+                bh = clip_histogram(bh, clahe_clip)
             mappings[i, j, :] = calc_transfer_func(bh, alpha, punch, clip, dtype=dtype)
 
     return apply_block_mappings(gray, mappings, blockshape)

@@ -108,3 +108,32 @@ class TestLocalBlockHisteq:
                 h = np.bincount(blk.reshape(-1), minlength=256)
                 want = oracle.calc_transfer_func(h, 0.5, 0.05, 3.0)
                 assert np.max(np.abs(got[i, j] - want)) < 0.01
+
+
+class TestClaheClipLimit:
+    def test_clip_histogram_conserves_mass(self, rng):
+        h = rng.integers(0, 5000, size=256).astype(np.float64)
+        c = oracle.clip_histogram(h, 2.0)
+        assert abs(c.sum() - h.sum()) < 1e-6
+        assert c.max() <= 2.0 * h.sum() / 256 + h.sum() / 256  # limit + redistribution
+
+    def test_ops_matches_oracle(self, under_exposure_gray):
+        g = under_exposure_gray[:512, :1024]
+        want = oracle.histeq_local_block(
+            g.copy(), 0.8, 0.01, 10.0, (128, 128), clahe_clip=2.5
+        )
+        got = np.asarray(
+            ops.histeq_local_block(g, 0.8, 0.01, 10.0, (128, 128), clahe_clip=2.5)
+        )
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_limiting_reduces_amplification(self, under_exposure_gray):
+        # contrast limiting must tame flat-region noise amplification:
+        # the clipped LUT stays closer to identity in sparse bins
+        g = under_exposure_gray[:256, :256]
+        raw = np.asarray(ops.block_mappings(g, 1.0, 0.01, 100.0, (128, 128)))
+        lim = np.asarray(
+            ops.block_mappings(g, 1.0, 0.01, 100.0, (128, 128), clahe_clip=1.5)
+        )
+        ident = np.arange(256, dtype=np.float32)
+        assert np.abs(lim - ident).mean() < np.abs(raw - ident).mean()
