@@ -1,0 +1,96 @@
+"""Serving-style video pipeline: enhancement + dense motion at frame rate.
+
+The reference's production story was one interactive window equalizing
+one video frame at a time with host round-trips per stage
+(histeq_test.py). This harness shows the TPU-native equivalent: a
+synthetic (or real, --video) stream processed in device-resident
+batches - fused histeq -> resize per frame plus fast dense motion
+between consecutive frames - reporting sustained frames/sec with
+tunnel-safe timing.
+
+  python examples/video_pipeline.py [--frames 64] [--width 1280 --height 768]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
+
+    from oclcomputervision_tpu.ops.histeq import histeq_global
+    from oclcomputervision_tpu.ops.motion import _estimate_2d_fast
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=768)
+    ap.add_argument("--video", default=None, help="optional real video path")
+    args = ap.parse_args()
+
+    h, w = args.height, args.width
+
+    if args.video:
+        import cv2
+
+        cap = cv2.VideoCapture(args.video)
+        frames = []
+        while len(frames) < args.frames:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(cv2.resize(f, (w, h)), cv2.COLOR_BGR2GRAY))
+        frames = [jnp.asarray(f) for f in frames]
+    else:
+        # synthetic panning scene (smooth content so ME has structure)
+        keys = jax.random.split(jax.random.PRNGKey(0), 1)
+        base = jax.random.uniform(keys[0], (h + 256, w + 256))
+        k = jnp.ones((16, 16)) / 256.0
+        base = jax.lax.conv_general_dilated(
+            base[None, :, :, None], k[:, :, None, None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0, :, :, 0]
+        base = (base * 255).astype(jnp.uint8)
+        frames = [
+            jax.lax.dynamic_slice(base, (2 * i, 3 * i), (h, w))
+            for i in range(args.frames)
+        ]
+    frames = jax.block_until_ready(frames)
+    n = len(frames)
+    print(f"{n} frames of {w}x{h}")
+
+    @jax.jit
+    def per_frame(prev, cur, acc):
+        eq = histeq_global(cur)
+        mv = _estimate_2d_fast(prev, cur, jnp.zeros(1), 15, 5, "fixed", False)
+        return acc + jnp.sum(eq, dtype=jnp.float32) + jnp.sum(mv)
+
+    # warmup/compile
+    acc = jnp.float32(0)
+    acc = per_frame(frames[0], frames[1], acc)
+    float(acc)
+
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for i in range(1, n):
+        acc = per_frame(frames[i - 1], frames[i], acc)
+    float(acc)  # forced readback: completes the whole chain
+    dt = (time.perf_counter() - t0) / (n - 1)
+    mp = h * w / 1e6
+    print(
+        f"histeq + dense flow per frame: {dt * 1e3:.2f} ms = {1 / dt:.1f} fps "
+        f"({mp / dt:.0f} MP/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
