@@ -10,6 +10,7 @@ from modern scipy, and our oracle computes the same align-corners math).
 """
 
 import os
+import time
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,9 +45,34 @@ def main():
         dev = jnp.asarray(src)
         fn = jax.jit(lambda x: resize_uint8(x, (hn, wn), method))
         out_tpu = np.asarray(fn(dev))  # compile + correctness sample
-        ms = bench_op(fn, dev, iters=loop)
+
+        # tunnel-safe throughput: never-seen buffers + dependency-chain
+        # readback (block_until_ready is unreliable here; see bench.py)
+        keys = jax.random.split(jax.random.PRNGKey(0), loop)
+        gen = jax.jit(
+            lambda k: jax.random.randint(k, src.shape, 0, 256, jnp.int32).astype(
+                jnp.uint8
+            )
+        )
+        bufs = [gen(k) for k in keys]
+        jax.block_until_ready(bufs)
+        chained = jax.jit(
+            lambda x, acc: acc + jnp.sum(fn(x), dtype=jnp.float32)
+        )
+        acc = jnp.float32(0)
+        for b in bufs[:4]:
+            acc = chained(b, acc)
+        float(acc)
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for b in bufs[4:]:
+            acc = chained(b, acc)
+        float(acc)
+        ms = (time.perf_counter() - t0) / (loop - 4) * 1000.0
+        mps = hn * wn / 1e6 / ms * 1000.0
         print(
-            f"{method}: TPU took {ms:.3f} ms, PSNR vs oracle: {psnr(out_tpu, truth):.3f}"
+            f"{method}: TPU took {ms:.3f} ms ({mps:.0f} MP out/s), "
+            f"PSNR vs oracle: {psnr(out_tpu, truth):.3f}"
         )
 
 
