@@ -40,6 +40,25 @@ def equalize_bgr(bgr, alpha, punch, clip, local):
     return cv2.cvtColor(ycrcb, cv2.COLOR_YCrCb2BGR)
 
 
+def plot_hist(bgr, height=120):
+    """Per-channel histogram overlay strip (histeq_test.py:63-99
+    equivalent): channel histograms come from the device histogram
+    grid, drawn as B/G/R curves on a black strip as wide as the image."""
+    import cv2
+
+    from oclcomputervision_tpu.ops.histeq import histogram256
+
+    w = bgr.shape[1]
+    strip = np.zeros((height, w, 3), np.uint8)
+    for c, color in enumerate(((255, 0, 0), (0, 255, 0), (0, 0, 255))):
+        hist = np.asarray(histogram256(bgr[:, :, c].reshape(-1))).astype(np.float64)
+        hist = hist / max(hist.max(), 1) * (height - 2)
+        xs = np.linspace(0, w - 1, 256).astype(int)
+        pts = np.stack([xs, height - 1 - hist.astype(int)], axis=1)
+        cv2.polylines(strip, [pts.reshape(-1, 1, 2)], False, color, 1)
+    return strip
+
+
 def main():
     import cv2
 
@@ -82,8 +101,9 @@ def main():
     baseline = cv2.cvtColor(ycrcb, cv2.COLOR_YCrCb2BGR)
 
     panel = np.hstack([bgr, ours, baseline])
-    cv2.imwrite(args.out, panel)
-    print(f"wrote {args.out} (original | ours | cv2-CLAHE)")
+    hists = np.hstack([plot_hist(bgr), plot_hist(ours), plot_hist(baseline)])
+    cv2.imwrite(args.out, np.vstack([panel, hists]))
+    print(f"wrote {args.out} (original | ours | cv2-CLAHE, with histograms)")
 
 
 if __name__ == "__main__":
