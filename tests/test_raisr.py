@@ -135,3 +135,26 @@ class TestTraining:
         m2 = RaisrModel.load(p)
         np.testing.assert_allclose(np.asarray(m2.filters), np.asarray(trained))
         assert m2.cfg.num_filters == tiny_cfg.num_filters
+
+
+class TestScale3:
+    def test_train_and_upsample_scale3(self, lenna_gray_mod):
+        # the reference hard-fails on any scale but 2 (raisr.py:91-93);
+        # our trainer/inference are scale-generic
+        cfg = RaisrConfig(scale=3, fidelity="full")
+        hr = lenna_gray_mod[:96, :96]
+        m = RaisrModel(cfg=cfg).train([hr], chunk=256)
+        lr = hr.reshape(32, 3, 32, 3).mean(axis=(1, 3)).round().astype(np.uint8)
+        ra = np.asarray(m.upsample(lr))
+        assert ra.shape == (96, 96)
+        from oclcomputervision_tpu.ops.interpolation import resize_uint8
+
+        bil = np.asarray(resize_uint8(lr, (96, 96), "bilinear"))
+        assert psnr(ra, hr) > psnr(bil, hr)
+
+    def test_shipped_x3_bank_loads(self):
+        from oclcomputervision_tpu.utils import asset_path
+
+        m = RaisrModel.load(asset_path("raisr_filters_x3.npz"))
+        assert m.cfg.scale == 3
+        assert m.filters.shape == (24 * 3 * 3 * 9, 11, 11)
