@@ -248,15 +248,14 @@ def apply_filters_fast(
     return out[..., 0] if squeeze else out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gray"))
-def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
-    from oclcomputervision_tpu.ops.interpolation import _resize_plane
+def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
+    """Pipeline after the cheap upscale: YUV -> hash -> filter -> uint8.
 
-    x01 = img_u8.astype(jnp.float32) / 255.0
-    h, w = x01.shape[:2]
-    x3 = x01[..., None] if gray else x01
-    up = _resize_plane(x3, (h * cfg.scale, w * cfg.scale), "bilinear")
-
+    ``up`` is the bilinear-upscaled float image in [0, 1], [H, W, C]
+    (C=1 for gray). Split out so the spatially-sharded path
+    (parallel/mesh.py) can feed a shard-local upscale computed at
+    global coordinates.
+    """
     if gray:
         yuv = up
     else:
@@ -285,6 +284,17 @@ def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
 
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
     return out[..., 0] if gray else out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gray"))
+def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
+    from oclcomputervision_tpu.ops.interpolation import _resize_plane
+
+    x01 = img_u8.astype(jnp.float32) / 255.0
+    h, w = x01.shape[:2]
+    x3 = x01[..., None] if gray else x01
+    up = _resize_plane(x3, (h * cfg.scale, w * cfg.scale), "bilinear")
+    return _raisr_post(up, filters, cfg, gray)
 
 
 def raisr_upsample(

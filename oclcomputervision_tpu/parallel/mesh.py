@@ -151,3 +151,100 @@ def raisr_train_step(
         check_vma=False,
     )
     return sharded(ps, ts, fs)
+
+
+def raisr_upsample_sharded(
+    lr: jnp.ndarray,
+    filters: jnp.ndarray,
+    cfg,
+    mesh: Mesh,
+    axis: str = "data",
+    halo: int = 8,
+) -> jnp.ndarray:
+    """Spatially-sharded RAISR inference: LR rows split over the mesh.
+
+    Each device holds a row shard of the LR [H, W] image, exchanges
+    ``halo`` boundary rows with its neighbors over ICI (two ppermute
+    shifts), upsamples its extended shard, runs the hash/filter stages,
+    and crops ``scale*halo`` rows from the HR output. Bit-identical to
+    the single-device result (interior seams AND global edges).
+
+    The subtlety is the align-corners upscale: HR row q samples LR row
+    q*(H-1)/(H*scale-1), which depends on the GLOBAL height - resizing
+    the extended shard with shard-local coordinates warps the mapping
+    everywhere (~30% of pixels off). So the vertical taps are
+    precomputed per shard at global coordinates (host-side constants,
+    selected by axis_index) and applied as a sparse [hr_ext, lr_ext]
+    tap-matrix matmul (MXU; no dynamic gather). Out-of-image extended
+    rows clamp to the boundary HR row, which is exactly the edge
+    padding the hash/apply stages use (ops/raisr.py), so global edges
+    match too. halo=8 LR rows covers the post-upscale receptive field
+    (Sobel 1 + 9x9 tensor 4 + 11x11 filter 5 = 10 HR rows) plus the
+    bilinear support.
+    """
+    from oclcomputervision_tpu.oracle.interpolation import axis_weights
+    from oclcomputervision_tpu.ops.raisr import _raisr_post
+
+    n = mesh.shape[axis]
+    h, w = lr.shape
+    assert h % n == 0, (h, n)
+    s = cfg.scale
+    h_loc = h // n
+    assert halo <= h_loc, (halo, h_loc)
+    rows_lr = h_loc + 2 * halo
+    rows_hr = rows_lr * s
+
+    yidx_g, yw_g = axis_weights(h * s, h, "bilinear", dtype=np.float32)
+    xidx_g, xw_g = axis_weights(w * s, w, "bilinear", dtype=np.float32)
+    n_tap = yw_g.shape[1]
+
+    # Per-shard vertical tap tables [n, rows_hr, n_tap]: extended-shard
+    # HR row q is global HR row (i*h_loc - halo)*s + q (clamped); its
+    # taps are the global ones rebased to extended-shard-local LR rows.
+    idx_all = np.zeros((n, rows_hr, n_tap), np.int32)
+    wgt_all = np.zeros((n, rows_hr, n_tap), np.float32)
+    for i in range(n):
+        q_g = np.clip((i * h_loc - halo) * s + np.arange(rows_hr), 0, h * s - 1)
+        idx_all[i] = yidx_g[q_g] - (i * h_loc - halo)
+        wgt_all[i] = yw_g[q_g]
+    idx_c = jnp.asarray(idx_all)
+    wgt_c = jnp.asarray(wgt_all)
+
+    def shard_fn(x):
+        x = x[0]  # [h/n, w]
+        i = jax.lax.axis_index(axis)
+        perm_up = [(k, k - 1) for k in range(1, n)]  # send top rows upward
+        perm_dn = [(k, k + 1) for k in range(n - 1)]  # send bottom rows down
+        top_rows = jax.lax.ppermute(x[:halo], axis, perm_dn)  # from above
+        bot_rows = jax.lax.ppermute(x[-halo:], axis, perm_up)  # from below
+        # edge shards replicate their own boundary rows (never sampled
+        # with nonzero weight - clamped taps stay inside the image)
+        top = jnp.where(i == 0, jnp.repeat(x[:1], halo, axis=0), top_rows)
+        bot = jnp.where(i == n - 1, jnp.repeat(x[-1:], halo, axis=0), bot_rows)
+        ext = jnp.concatenate([top, x, bot], axis=0).astype(jnp.float32) / 255.0
+
+        # vertical pass at global coordinates: sparse tap matrix @ shard
+        idx_i = idx_c[i]  # [rows_hr, n_tap]
+        wgt_i = wgt_c[i]
+        lanes = jnp.arange(rows_lr, dtype=jnp.int32)
+        taps = jnp.sum(
+            wgt_i[..., None] * (idx_i[..., None] == lanes).astype(jnp.float32),
+            axis=1,
+        )  # [rows_hr, rows_lr]
+        v = taps @ ext  # [rows_hr, w]
+        # horizontal pass: global == local (full rows), static taps
+        up = jnp.zeros((rows_hr, w * s), jnp.float32)
+        for k in range(n_tap):
+            up = up + jnp.asarray(xw_g[:, k])[None, :] * v[:, jnp.asarray(xidx_g[:, k])]
+
+        hr_ext = _raisr_post(up[..., None], filters, cfg, True)
+        return hr_ext[s * halo : rows_hr - s * halo][None]
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return sharded(lr.reshape(n, h // n, w)).reshape(h * s, w * s)

@@ -56,3 +56,27 @@ class TestDistributedTraining:
         np.testing.assert_allclose(
             np.asarray(dist), np.asarray(single), atol=5e-3, rtol=1e-2
         )
+
+
+class TestShardedRaisr:
+    def test_row_sharded_matches_single_device(self, mesh8, lenna_gray):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.models.raisr import train_filters
+        from oclcomputervision_tpu.ops.raisr import raisr_upsample
+        from oclcomputervision_tpu.parallel.mesh import raisr_upsample_sharded
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        hr = lenna_gray[:128, :128]
+        filters = train_filters([hr], cfg, chunk=512)
+        lr = hr[::2, ::2].copy()  # any uint8 input works
+
+        single = np.asarray(raisr_upsample(lr, filters, cfg))
+        sharded = np.asarray(
+            raisr_upsample_sharded(jnp.asarray(lr), filters, cfg, mesh8)
+        )
+        assert sharded.shape == single.shape
+        # interior seams must be bit-identical; global rows match too
+        # because edge shards replicate their own boundary rows
+        np.testing.assert_array_equal(sharded, single)
