@@ -7,13 +7,15 @@ the all-bucket response tensor r [N, 216] and the bucket one-hot in HBM
 
   per output row tile (one pixel-type phase at a time):
     DMA the 4 parity planes' row band (halo 5) into VMEM
-    per 8-row chunk:
-      build the tap matrix Pm [128, 8, W] with 121 contiguous block
+    per RC-row chunk:
+      build the tap matrix Pm [128, RC, W] with 121 contiguous block
         copies (taps live on sublanes; stride-free because parity
         planes are pre-deinterleaved)
-      per row: r = Wmat [224, 128] @ Pm[:, row] [128, W]  (MXU)
-               out[row] = sum_s (bucket_row == s) * r[s]  (VPU one-hot
-               row-dot; rows 216..223 are zero padding)
+      one matmul r = Wmat [224, 128] @ Pm [128, RC*W]  (MXU; chunking
+        the N axis measured ~20% faster than per-row matmuls)
+      per row: out[row] = sum_s (bucket_row == s) * r[s, row]  (VPU
+               one-hot row-dot; rows 216..223 are zero padding)
+  RC adapts to width so the response buffer stays <= ~8MB of VMEM.
 
 The bank is bf16 (taps), patches bf16, accumulation fp32: response
 error ~0.3% of the value - well inside RAISR's own model error (PSNR
@@ -34,13 +36,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64  # output rows per grid step
-ROW_CHUNK = 16  # rows per tap-matrix build
 HALO_ROWS = 8  # (filter_len // 2) // scale + filter extent, padded to 8
 NB_PAD = 224  # 216 buckets padded to a sublane multiple
 
 
+def _row_chunk(w2: int) -> int:
+    """Rows per tap-matrix/matmul chunk: largest power of two (<= 16)
+    whose [NB_PAD, rc*w2] f32 response fits in ~8MB of VMEM."""
+    rc = 16
+    while rc > 1 and NB_PAD * rc * w2 * 4 > 8 * 2**20:
+        rc //= 2
+    return rc
+
+
 def _make_kernel(fl: int, s: int, py: int, px: int, w2: int):
     n_taps = fl * fl
+    rc = _row_chunk(w2)
 
     # static per-tap plane + offset tables
     tap_plane = []
@@ -75,30 +86,30 @@ def _make_kernel(fl: int, s: int, py: int, px: int, w2: int):
         # zero the tap-pad rows once (scratch is uninitialized; 0 * NaN
         # would poison the matmul even though wmat's pad columns are 0)
         for q in range(n_taps, 128):
-            pm_buf[q] = jnp.zeros((ROW_CHUNK, w2), jnp.bfloat16)
+            pm_buf[q] = jnp.zeros((rc, w2), jnp.bfloat16)
 
         # fully static unrolled: Mosaic rejects dynamic sublane indices
         # that are not provably 8-aligned (the +roff tap offsets aren't)
-        for ci in range(TILE_H // ROW_CHUNK):
-            r0 = ci * ROW_CHUNK
+        for ci in range(TILE_H // rc):
+            r0 = ci * rc
             # tap matrix: Pm[q, r, :] = plane[tap_plane[q]][r0+r+roff, coff:coff+w2]
             for q in range(n_taps):
                 roff, coff = tap_off[q]
                 pm_buf[q] = buf[
-                    tap_plane[q], pl.ds(r0 + roff, ROW_CHUNK), pl.ds(coff, w2)
+                    tap_plane[q], pl.ds(r0 + roff, rc), pl.ds(coff, w2)
                 ].astype(jnp.bfloat16)
 
-            for r in range(ROW_CHUNK):
-                resp = jax.lax.dot_general(
-                    wmat,
-                    pm_buf[:, r, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [NB_PAD, w2]
+            resp = jax.lax.dot_general(
+                wmat,
+                pm_buf[:].reshape(128, rc * w2),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [NB_PAD, rc*w2]
+            for r in range(rc):
                 brow = bucket_ref[pl.ds(r0 + r, 1), :]  # [1, w2] int32
                 oh = (brow == nbit).astype(jnp.float32)
                 out_ref[pl.ds(r0 + r, 1), :] = jnp.sum(
-                    oh * resp, axis=0, keepdims=True
+                    oh * resp[:, r * w2 : (r + 1) * w2], axis=0, keepdims=True
                 )
 
     return kernel
@@ -122,7 +133,7 @@ def _apply_phase(planes, bucket_t, wmat, fl, s, py, px, interpret=False):
         out_shape=jax.ShapeDtypeStruct((h2, w2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((s * s, TILE_H + HALO_ROWS, planes.shape[2]), jnp.float32),
-            pltpu.VMEM((128, ROW_CHUNK, w2), jnp.bfloat16),
+            pltpu.VMEM((128, _row_chunk(w2), w2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((s * s,)),
         ],
         interpret=interpret,
