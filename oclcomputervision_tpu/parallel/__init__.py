@@ -3,6 +3,7 @@ from oclcomputervision_tpu.parallel.mesh import (
     data_parallel,
     histeq_global_sharded,
     raisr_train_step,
+    raisr_upsample_sharded,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "data_parallel",
     "histeq_global_sharded",
     "raisr_train_step",
+    "raisr_upsample_sharded",
 ]

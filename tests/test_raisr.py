@@ -158,3 +158,19 @@ class TestScale3:
         m = RaisrModel.load(asset_path("raisr_filters_x3.npz"))
         assert m.cfg.scale == 3
         assert m.filters.shape == (24 * 3 * 3 * 9, 11, 11)
+
+
+class TestScale4:
+    def test_shipped_x4_bank_upsamples(self, lenna_gray_mod):
+        from oclcomputervision_tpu.ops.interpolation import resize_uint8
+        from oclcomputervision_tpu.utils import asset_path
+
+        m = RaisrModel.load(asset_path("raisr_filters_x4.npz"))
+        assert m.cfg.scale == 4
+        assert m.filters.shape == (24 * 3 * 3 * 16, 11, 11)
+        hr = lenna_gray_mod[:128, :128]
+        lr = hr.reshape(32, 4, 32, 4).mean(axis=(1, 3)).round().astype(np.uint8)
+        ra = np.asarray(m.upsample(lr))
+        assert ra.shape == (128, 128)
+        bil = np.asarray(resize_uint8(lr, (128, 128), "bilinear"))
+        assert psnr(ra, hr) > psnr(bil, hr)
