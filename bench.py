@@ -28,13 +28,18 @@ def main():
         histeq_global_pallas as histeq_global,
     )
 
-    batch, h, w = 8, 768, 1280
+    # Batched serving geometry: 256 resident 768x1280 frames per call
+    # (252MB uint8). The per-call host dispatch through the axon tunnel
+    # is ~2.6 ms - at small batches the measurement is dispatch-bound
+    # (batch 8 reads ~1-2 GP/s for a ~9 GP/s device rate), so the batch
+    # is sized to amortize it.
+    batch, h, w = 256, 768, 1280
     # Timing discipline for the tunneled TPU in this environment:
     # - every timed call gets a never-seen-before device-resident buffer
     # - block_until_ready is NOT trustworthy through the tunnel; each
     #   call folds into a carried scalar and the final host readback of
     #   that scalar forces completion of the whole chain.
-    n_bufs, rounds = 10, 3
+    n_bufs, rounds = 4, 3
     keys = jax.random.split(jax.random.PRNGKey(0), n_bufs * (rounds + 1))
     gen = jax.jit(
         lambda k: jax.random.randint(k, (batch, h, w), 0, 256, jnp.int32).astype(
