@@ -113,3 +113,33 @@ class TestRaisrApplyKernel:
         fidx = bucket * 4 + onp.pixel_type_map(h, w, 2)
         want = onp.apply_filters(up.astype(np.float64), fidx, filters, cfg)
         assert np.abs(got - want).max() < 0.01
+
+    def test_wide_image_small_row_chunk(self, rng):
+        # w2 = 2048 drops the adaptive row chunk to 4 so the response
+        # block stays inside VMEM (the RC=16 geometry OOMs scoped vmem)
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.oracle import raisr as onp
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            _row_chunk,
+            apply_filters_pallas,
+        )
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        assert _row_chunk(1024) == 8 and _row_chunk(2048) == 4
+        cfg = RaisrConfig(fidelity="full")
+        h, w = 128, 4096
+        up = rng.random((h, w)).astype(np.float32)
+        bucket = rng.integers(0, 216, size=(h, w)).astype(np.int32)
+        filters = (rng.standard_normal((cfg.num_filters, 11, 11)) * 0.05).astype(
+            np.float32
+        )
+        got = np.asarray(
+            apply_filters_pallas(
+                jnp.asarray(up), jnp.asarray(bucket), jnp.asarray(filters), cfg,
+                interpret=True,
+            )
+        )
+        fidx = bucket * 4 + onp.pixel_type_map(h, w, 2)
+        want = onp.apply_filters(up.astype(np.float64), fidx, filters, cfg)
+        assert np.abs(got - want).max() < 0.01
