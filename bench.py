@@ -1,15 +1,28 @@
-"""Benchmark harness: fused global histogram equalization throughput.
+"""Benchmark harness: the two north-star fused ops.
 
-Measures the flagship fused op (tiled histogram -> transfer LUT ->
-gather, one jitted kernel) on device-resident uint8 batches, steady
-state, on whatever device JAX exposes (TPU under the driver).
+Measures, on device-resident uint8 batches in steady state on whatever
+device JAX exposes (TPU under the driver):
+  1. fused global histogram equalization (tiled histogram -> transfer
+     LUT -> gather, one jitted kernel), and
+  2. RAISR 2x super-resolution (cheap upscale -> hash -> fused Pallas
+     filter select+apply).
 
-Prints ONE JSON line:
+Prints one JSON line per metric:
   {"metric": ..., "value": N, "unit": "megapixels/sec/chip", "vs_baseline": N}
 
 vs_baseline is measured against the BASELINE.json north-star of
-1000 MP/s/chip on TPU v5e (the reference publishes no numbers of its
-own - BASELINE.md).
+1000 MP/s/chip on TPU v5e for BOTH ops (the reference publishes no
+numbers of its own - BASELINE.md). The RAISR value counts OUTPUT
+megapixels.
+
+Timing discipline for the tunneled TPU in this environment:
+- every timed call gets a never-seen-before device-resident buffer
+  (the relay caches (computation, operands) pairs);
+- block_until_ready is NOT trustworthy through the tunnel; each call
+  folds into a carried scalar and the final host readback of that
+  scalar forces completion of the whole chain;
+- per-call host dispatch is ~2.6 ms, so each call carries a large
+  batch to amortize it.
 """
 
 import json
@@ -17,48 +30,12 @@ import sys
 import time
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
-
-    from oclcomputervision_tpu.ops.pallas.histeq_pallas import (
-        histeq_global_pallas as histeq_global,
-    )
-
-    # Batched serving geometry: 256 resident 768x1280 frames per call
-    # (252MB uint8). The per-call host dispatch through the axon tunnel
-    # is ~2.6 ms - at small batches the measurement is dispatch-bound
-    # (batch 8 reads ~1-2 GP/s for a ~9 GP/s device rate), so the batch
-    # is sized to amortize it.
-    batch, h, w = 256, 768, 1280
-    # Timing discipline for the tunneled TPU in this environment:
-    # - every timed call gets a never-seen-before device-resident buffer
-    # - block_until_ready is NOT trustworthy through the tunnel; each
-    #   call folds into a carried scalar and the final host readback of
-    #   that scalar forces completion of the whole chain.
-    n_bufs, rounds = 4, 3
-    keys = jax.random.split(jax.random.PRNGKey(0), n_bufs * (rounds + 1))
-    gen = jax.jit(
-        lambda k: jax.random.randint(k, (batch, h, w), 0, 256, jnp.int32).astype(
-            jnp.uint8
-        )
-    )
-    bufs = [gen(k) for k in keys]
-    jax.block_until_ready(bufs)
-
-    fn = jax.jit(
-        lambda x, acc: acc + jnp.sum(histeq_global(x), dtype=jnp.int32)
-    )
-    # compile + warmup
+def _measure(fn, bufs, n_bufs, rounds, jnp):
+    """Median per-call seconds of fn over fresh device buffers."""
     acc = jnp.int32(0)
-    for b in bufs[:n_bufs]:
+    for b in bufs[:n_bufs]:  # compile + warmup
         acc = fn(b, acc)
     _ = int(acc)
-    print("warmup done", file=sys.stderr, flush=True)
-
     times = []
     for r in range(rounds):
         chunk = bufs[(r + 1) * n_bufs : (r + 2) * n_bufs]
@@ -69,20 +46,92 @@ def main():
         _ = int(acc)  # forced host readback of the dependency chain
         times.append((time.perf_counter() - t0) / n_bufs)
     times.sort()
-    median_s = times[len(times) // 2]
+    return times[len(times) // 2]
 
-    megapixels = batch * h * w / 1e6
-    mps = megapixels / median_s
+
+def _emit(metric, mps):
     print(
         json.dumps(
             {
-                "metric": "fused_histeq_global_throughput",
+                "metric": metric,
                 "value": round(mps, 1),
                 "unit": "megapixels/sec/chip",
                 "vs_baseline": round(mps / 1000.0, 3),
             }
+        ),
+        flush=True,
+    )
+
+
+def bench_histeq(jax, jnp):
+    from oclcomputervision_tpu.ops.pallas.histeq_pallas import histeq_global_pallas
+
+    # Batched serving geometry: 256 resident 768x1280 frames per call
+    # (252MB uint8) to amortize the ~2.6 ms/call tunnel dispatch.
+    batch, h, w = 256, 768, 1280
+    n_bufs, rounds = 4, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), n_bufs * (rounds + 1))
+    gen = jax.jit(
+        lambda k: jax.random.randint(k, (batch, h, w), 0, 256, jnp.int32).astype(
+            jnp.uint8
         )
     )
+    bufs = [gen(k) for k in keys]
+    jax.block_until_ready(bufs)
+
+    fn = jax.jit(lambda x, acc: acc + jnp.sum(histeq_global_pallas(x), dtype=jnp.int32))
+    median_s = _measure(fn, bufs, n_bufs, rounds, jnp)
+    print("histeq warmup+measure done", file=sys.stderr, flush=True)
+    _emit("fused_histeq_global_throughput", batch * h * w / 1e6 / median_s)
+
+
+def bench_raisr(jax, jnp):
+    import numpy as np
+
+    from oclcomputervision_tpu.models.raisr import RaisrModel
+    from oclcomputervision_tpu.ops.raisr import raisr_upsample
+    from oclcomputervision_tpu.utils.assets import asset_path
+
+    model = RaisrModel.load(asset_path("raisr_filters_x2.npz"), fidelity="full")
+    filters = jnp.asarray(model.filters, jnp.float32)
+    cfg = model.cfg
+
+    # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 8
+    # per call; natural-image content so the hash buckets are realistic.
+    batch, h, w = 8, 1024, 1024
+    n_bufs, rounds = 2, 3
+    from oclcomputervision_tpu.utils import load_gray
+
+    base = load_gray("lenna.png")
+    tile = np.tile(base, (-(-h // base.shape[0]), -(-w // base.shape[1])))[:h, :w]
+    rng = np.random.default_rng(0)
+    bufs = []
+    for i in range(n_bufs * (rounds + 1)):
+        # unique content per buffer: random roll + additive noise
+        sh = rng.integers(0, 512, 2)
+        noisy = tile.astype(np.int16) + rng.integers(-8, 9, tile.shape)
+        img = np.clip(np.roll(noisy, sh, (0, 1)), 0, 255).astype(np.uint8)
+        bufs.append(jnp.asarray(np.stack([img] * batch)))
+    jax.block_until_ready(bufs)
+
+    # the sum runs over the FULL output (a strided subsample would let
+    # XLA dead-code-eliminate part of the re-interleave glue)
+    fn = jax.jit(
+        lambda x, acc: acc + jnp.sum(raisr_upsample(x, filters, cfg), dtype=jnp.int32)
+    )
+    median_s = _measure(fn, bufs, n_bufs, rounds, jnp)
+    print("raisr warmup+measure done", file=sys.stderr, flush=True)
+    _emit("raisr_x2_throughput", batch * h * w * cfg.scale**2 / 1e6 / median_s)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
+
+    bench_histeq(jax, jnp)
+    bench_raisr(jax, jnp)
 
 
 if __name__ == "__main__":

@@ -142,21 +142,27 @@ class Utility:
     """clUtility-equivalent (basic/interpolation.py:16): dst is filled
     in place, per-call elapsed-ms list is returned."""
 
-    def _run(self, src, dst, method):
-        out, ms = timed(ops.resize_uint8, src, dst.shape[:2], method)
+    def _run(self, src, dst, method, mapping="align_corners"):
+        out, ms = timed(ops.resize_uint8, src, dst.shape[:2], method, mapping)
         dst[...] = np.asarray(out).reshape(dst.shape)
         return [ms]
 
     def bilinear(self, src, dst):
+        # bilinear_simple's HW-sampler numerics (interpolation.cl:11-13):
+        # the reference observably ships TWO bilinear conventions
+        # (SURVEY.md fidelity note 11); this name keeps the simple one.
+        return self._run(src, dst, "bilinear", mapping="hw_sampler")
+
+    def bilinear_lds(self, src, dst):
+        # explicit align-corners math (interpolation.cl:39-70)
         return self._run(src, dst, "bilinear")
 
     def bicubic(self, src, dst):
         return self._run(src, dst, "bicubic")
 
-    # the reference's LDS variants compute the same align-corners math
-    # as its simple variants (modulo the HW-sampler half-texel quirk,
-    # SURVEY.md fidelity note 11); one TPU kernel serves both names.
-    bilinear_lds = bilinear
+    # bicubic_simple computes the same explicit align-corners
+    # Catmull-Rom as bicubic_lds (interpolation.cl:92,157) - one kernel
+    # serves both names.
     bicubic_lds = bicubic
 
 

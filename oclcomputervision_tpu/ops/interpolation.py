@@ -9,6 +9,13 @@ TPU). Semantics match the reference's explicit LDS kernels
 (basic/interpolation.cl:17-70, 132-211): align-corners mapping,
 clamp-to-edge, Catmull-Rom a=-0.5 (cubic_matrix, interpolation.cl:73-78),
 bicubic output clamped to the valid range (interpolation.cl:128).
+
+``mapping`` selects the coordinate convention: "align_corners"
+(default, the LDS kernels), "hw_sampler" (the reference's
+bilinear_simple: align-corners normalized coordinate through the HW
+sampler's implicit -0.5 texel offset, interpolation.cl:11-13 - NOT
+bit-identical to the LDS variant, SURVEY.md fidelity note 11), or
+"half_pixel" (cv2.INTER_LINEAR pixel centers).
 """
 
 from __future__ import annotations
@@ -23,13 +30,18 @@ import numpy as np
 from oclcomputervision_tpu.oracle.interpolation import axis_weights
 
 
-def _resize_plane(img: jnp.ndarray, out_hw: Tuple[int, int], method: str) -> jnp.ndarray:
+def _resize_plane(
+    img: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str,
+    mapping: str = "align_corners",
+) -> jnp.ndarray:
     """Resize float [H, W, C] -> [h_out, w_out, C]; taps are constants."""
     h_in, w_in = img.shape[:2]
     h_out, w_out = out_hw
 
-    yidx_np, yw_np = axis_weights(h_out, h_in, method, dtype=np.float32)
-    xidx_np, xw_np = axis_weights(w_out, w_in, method, dtype=np.float32)
+    yidx_np, yw_np = axis_weights(h_out, h_in, method, dtype=np.float32, mapping=mapping)
+    xidx_np, xw_np = axis_weights(w_out, w_in, method, dtype=np.float32, mapping=mapping)
     n_tap = yw_np.shape[1]
 
     out = jnp.zeros((h_out, w_in) + img.shape[2:], img.dtype)
@@ -42,20 +54,24 @@ def _resize_plane(img: jnp.ndarray, out_hw: Tuple[int, int], method: str) -> jnp
     return out2
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "method", "clamp_hi"))
-def _resize_f32(img, out_hw, method, clamp_hi):
-    out = _resize_plane(img, out_hw, method)
+@functools.partial(jax.jit, static_argnames=("out_hw", "method", "clamp_hi", "mapping"))
+def _resize_f32(img, out_hw, method, clamp_hi, mapping="align_corners"):
+    out = _resize_plane(img, out_hw, method, mapping)
     if method == "bicubic":
         out = jnp.clip(out, 0.0, clamp_hi)
     return out
 
 
 def resize(
-    img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "bilinear"
+    img: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str = "bilinear",
+    mapping: str = "align_corners",
 ) -> jnp.ndarray:
-    """Align-corners resize of [H, W], [H, W, C], or [B, H, W, C] to out_hw.
+    """Resize of [H, W], [H, W, C], or [B, H, W, C] to out_hw.
 
     Float output in the input's value range ([0, 255] for uint8 input).
+    See the module docstring for the ``mapping`` conventions.
     """
     img = jnp.asarray(img)
     clamp_hi = 255.0 if jnp.issubdtype(img.dtype, jnp.integer) else 1.0
@@ -63,26 +79,37 @@ def resize(
 
     if img.ndim == 2:
         x = img.astype(jnp.float32)[..., None]
-        return _resize_f32(x, out_hw, method, clamp_hi)[..., 0]
+        return _resize_f32(x, out_hw, method, clamp_hi, mapping)[..., 0]
     if img.ndim == 3:
-        return _resize_f32(img.astype(jnp.float32), out_hw, method, clamp_hi)
+        return _resize_f32(img.astype(jnp.float32), out_hw, method, clamp_hi, mapping)
     if img.ndim == 4:
-        return jax.vmap(lambda x: _resize_f32(x, out_hw, method, clamp_hi))(
+        return jax.vmap(lambda x: _resize_f32(x, out_hw, method, clamp_hi, mapping))(
             img.astype(jnp.float32)
         )
     raise ValueError(f"unsupported rank {img.ndim}")
 
 
 def resize_uint8(
-    img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "bilinear"
+    img: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str = "bilinear",
+    mapping: str = "align_corners",
 ) -> jnp.ndarray:
     """uint8-in/uint8-out resize with round-to-nearest quantization."""
-    out = resize(img, out_hw, method)
+    out = resize(img, out_hw, method, mapping)
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
 def bilinear(img, out_hw):
-    """Reference-named alias (basic/interpolation.py:37)."""
+    """Reference-named alias (basic/interpolation.py:37): the reference's
+    ``bilinear`` method dispatches bilinear_simple, whose HW-sampler
+    numerics ``mapping="hw_sampler"`` reproduces."""
+    return resize_uint8(img, out_hw, "bilinear", mapping="hw_sampler")
+
+
+def bilinear_lds(img, out_hw):
+    """Reference-named alias (basic/interpolation.py:73): explicit
+    align-corners math (interpolation.cl:39-70)."""
     return resize_uint8(img, out_hw, "bilinear")
 
 

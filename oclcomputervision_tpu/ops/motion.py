@@ -24,7 +24,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from oclcomputervision_tpu.oracle.motion import me_steps
+from oclcomputervision_tpu.oracle.motion import gaussian2d, me_steps
+
+
+def _cost(patches, cand, costfn: str, patch_size: int):
+    """Candidate cost over the trailing [ps, ps] axes (me_pyramid.py:29-48).
+
+    SAD/SSD stay in int32 (exact, VPU-friendly); the WSAD variants use
+    float32 with the reference's 5x5 sigma=2 Gaussian - 'wsad_shipped'
+    keeps the np.dot-as-matmul quirk (fidelity note 9), 'wsad' is the
+    intended elementwise weighting.
+    """
+    if costfn == "sad":
+        return jnp.sum(jnp.abs(patches - cand), axis=(2, 3))
+    if costfn == "ssd":
+        d = patches - cand
+        return jnp.sum(d * d, axis=(2, 3))
+    w = jnp.asarray(
+        gaussian2d((patch_size, patch_size), 2.0), jnp.float32
+    )
+    p0 = patches.astype(jnp.float32)
+    p1 = cand.astype(jnp.float32)
+    if costfn == "wsad_shipped":
+        return jnp.sum(jnp.abs(p0 @ w - p1 @ w), axis=(2, 3))
+    if costfn == "wsad":
+        return jnp.sum(jnp.abs(p0 - p1) * w, axis=(2, 3))
+    raise ValueError(f"unknown costfn {costfn!r}")
 
 
 def _gather_padded_u8(img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarray:
@@ -37,9 +62,12 @@ def _gather_padded_u8(img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp
 
 
 @functools.partial(
-    jax.jit, static_argnames=("search_size", "patch_size", "seed_mode", "has_seed")
+    jax.jit,
+    static_argnames=("search_size", "patch_size", "seed_mode", "has_seed", "costfn"),
 )
-def _estimate_2d(gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed):
+def _estimate_2d(
+    gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed, costfn="sad"
+):
     h, w = gray0.shape
     pm = patch_size // 2
     ys, xs = jnp.mgrid[0:h, 0:w]
@@ -80,7 +108,7 @@ def _estimate_2d(gray0, gray1, seed, search_size, patch_size, seed_mode, has_see
                     (0, 0, iy * step, ix * step),
                     (h, w, iy * step + patch_size, ix * step + patch_size),
                 )
-                sads.append(jnp.sum(jnp.abs(patches - cand), axis=(2, 3)))
+                sads.append(_cost(patches, cand, costfn, patch_size))
         best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
         cy = cy + (best // 3 - 1) * step
         cx = cx + (best % 3 - 1) * step
@@ -95,9 +123,12 @@ def _estimate_2d(gray0, gray1, seed, search_size, patch_size, seed_mode, has_see
 
 
 @functools.partial(
-    jax.jit, static_argnames=("search_size", "patch_size", "seed_mode", "has_seed")
+    jax.jit,
+    static_argnames=("search_size", "patch_size", "seed_mode", "has_seed", "costfn"),
 )
-def _estimate_2d_fast(gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed):
+def _estimate_2d_fast(
+    gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed, costfn="sad"
+):
     """Warp-based approximate search: one gather per round.
 
     Instead of gathering a per-pixel candidate window (exact path,
@@ -160,7 +191,15 @@ def _estimate_2d_fast(gray0, gray1, seed, search_size, patch_size, seed_mode, ha
                 shifted = jax.lax.slice(
                     w1p, (step + oy, step + ox), (step + oy + h, step + ox + w)
                 )
-                sads.append(boxsum(jnp.abs(f0 - shifted)))
+                if costfn == "sad":
+                    diff = jnp.abs(f0 - shifted)
+                elif costfn == "ssd":
+                    diff = (f0 - shifted) * (f0 - shifted)
+                else:
+                    # the WSAD matmul cost has no shifted-boxsum form;
+                    # it exists only on the exact path
+                    raise ValueError(f"costfn {costfn!r} requires method='exact'")
+                sads.append(boxsum(diff))
         best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
         dy = median3x3(dy + (best // 3 - 1) * step)
         dx = median3x3(dx + (best % 3 - 1) * step)
@@ -182,6 +221,7 @@ def estimate_motion_vector(
     seed: Optional[jnp.ndarray] = None,
     seed_mode: str = "shipped",
     method: str = "exact",
+    costfn: str = "sad",
 ) -> jnp.ndarray:
     """Dense integer block-matching flow [H, W, 2] (u=x, v=y) float32.
 
@@ -189,6 +229,9 @@ def estimate_motion_vector(
     frames (seed batched alike). ``method='exact'`` is bit-identical to
     the reference search; ``method='fast'`` uses the warp-based
     approximation (~40x faster on TPU, EPE parity on Middlebury).
+    ``costfn`` in {'sad', 'ssd', 'wsad_shipped', 'wsad'} selects the
+    match cost (me_pyramid.py:29-48; the reference search only ever uses
+    SAD at :70; the WSAD variants are exact-mode only).
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
@@ -198,10 +241,10 @@ def estimate_motion_vector(
     if gray0.ndim == 3:
         return jax.vmap(
             lambda g0, g1, sd: impl(
-                g0, g1, sd, search_size, patch_size, seed_mode, has_seed
+                g0, g1, sd, search_size, patch_size, seed_mode, has_seed, costfn
             )
         )(gray0, gray1, s if has_seed else jnp.zeros((gray0.shape[0], 1), jnp.float32))
-    return impl(gray0, gray1, s, search_size, patch_size, seed_mode, has_seed)
+    return impl(gray0, gray1, s, search_size, patch_size, seed_mode, has_seed, costfn)
 
 
 def _halfpixel_taps(n_out: int, n_in: int):

@@ -163,9 +163,10 @@ def apply_filters_fast(
     - the (angle, strength, coherence) bucket one-hot factorizes as
       A[24] (x) (S[3] (x) C[3]) - 30 compares + 225 multiplies per
       pixel instead of 864 compares;
-    - the filter select is then F = onehot216 @ W_t on the MXU, with W_t
-      split into bf16 hi + lo parts (selection rows have exactly one
-      nonzero, so hi+lo reproduces fp32 taps to ~1e-6 relative);
+    - the filter select is then r = patches @ W_t^T on the MXU (all-
+      bucket responses in fp32), and the one-hot row-dot picks each
+      pixel's hashed bucket exactly (selection rows have exactly one
+      nonzero);
     - the 11x11 response is 121 shifted strided FMAs of the upscaled
       image against F's columns (all channels share F).
     """
@@ -177,9 +178,10 @@ def apply_filters_fast(
     x = up[..., None] if squeeze else up
     h, w, c = x.shape
     xp = jnp.pad(x, ((m, m), (m, m), (0, 0)), mode="edge")
-    # bf16 feeds the MXU on TPU; the XLA CPU backend cannot execute
-    # bf16 x bf16 -> f32 dots, so fall back to fp32 there (exact).
-    sel_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    # fp32 throughout: this XLA path is the CPU/oracle-adjacent twin
+    # (TPU routes to the Pallas kernel in _raisr_post), and the XLA CPU
+    # backend cannot execute bf16 x bf16 -> f32 dots anyway.
+    sel_dtype = jnp.float32
 
     def phase_onehot(py, px):
         # one-hot built from the phase's small int32 index maps (slicing
@@ -248,6 +250,20 @@ def apply_filters_fast(
     return out[..., 0] if squeeze else out
 
 
+def _csc(img, mat) -> jnp.ndarray:
+    """3x3 color-space conversion of [..., 3] or [..., 4] channels.
+
+    The reference uses 4x4 CSC matrices whose alpha row is identity
+    (raisr.py:20-33), so a BGRA input's alpha channel passes through the
+    conversion untouched - and then receives the same per-pixel learned
+    filter as the YUV channels (raisr.cl:322-331's half4 FMA).
+    """
+    m = jnp.asarray(mat, jnp.float32)
+    if img.shape[-1] == 4:
+        return jnp.concatenate([img[..., :3] @ m, img[..., 3:]], axis=-1)
+    return img @ m
+
+
 def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
     """Pipeline after the cheap upscale: YUV -> hash -> filter -> uint8.
 
@@ -256,13 +272,10 @@ def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
     (parallel/mesh.py) can feed a shard-local upscale computed at
     global coordinates.
     """
-    if gray:
-        yuv = up
-    else:
-        yuv = up @ jnp.asarray(oracle_raisr.RGB2YUV.T, jnp.float32)
+    yuv = up if gray else _csc(up, oracle_raisr.RGB2YUV.T)
 
     if cfg.fidelity == "shipped":
-        out = yuv if gray else yuv @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
+        out = yuv if gray else _csc(yuv, oracle_raisr.YUV2RGB.T)
     else:
         ai, si, ci = hash_components(yuv[..., 0], cfg)
         if jax.default_backend() == "tpu":
@@ -280,7 +293,7 @@ def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
             filtered = jnp.stack(chans, axis=-1)
         else:
             filtered = apply_filters_fast(yuv, ai, si, ci, filters, cfg)
-        out = filtered if gray else filtered @ jnp.asarray(oracle_raisr.YUV2RGB.T, jnp.float32)
+        out = filtered if gray else _csc(filtered, oracle_raisr.YUV2RGB.T)
 
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
     return out[..., 0] if gray else out

@@ -26,6 +26,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def gaussian2d(shape=(3, 3), sigma=0.5) -> np.ndarray:
+    """MATLAB fspecial('gaussian')-style mask (me_pyramid.py:15-27)."""
+    m, n = [(ss - 1.0) / 2.0 for ss in shape]
+    y, x = np.ogrid[-m : m + 1, -n : n + 1]
+    h = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    h[h < np.finfo(h.dtype).eps * h.max()] = 0
+    sumh = h.sum()
+    if sumh != 0:
+        h /= sumh
+    return h
+
+
+def patch_cost(p0: np.ndarray, p1: np.ndarray, costfn: str = "sad") -> np.ndarray:
+    """Block-match cost over the last two axes (me_pyramid.py:29-48).
+
+    p0/p1: float32 [..., ps, ps]. 'sad' is the only cost the reference
+    search actually uses (me_pyramid.py:70); 'ssd' matches its SSD();
+    'wsad_shipped' reproduces WSAD()'s quirk - np.dot(patch, weights) is
+    a MATMUL, not elementwise weighting (SURVEY.md fidelity note 9) -
+    and 'wsad' is the evidently intended elementwise version.
+    """
+    if costfn == "sad":
+        return np.abs(p0 - p1).sum(axis=(-2, -1))
+    if costfn == "ssd":
+        d = p0 - p1
+        return (d * d).sum(axis=(-2, -1))
+    if costfn in ("wsad_shipped", "wsad"):
+        w = gaussian2d(p0.shape[-2:], 2.0).astype(np.float32)
+        if costfn == "wsad_shipped":
+            return np.abs(p0 @ w - p1 @ w).sum(axis=(-2, -1))
+        return (np.abs(p0 - p1) * w).sum(axis=(-2, -1))
+    raise ValueError(f"unknown costfn {costfn!r}")
+
+
 def me_steps(search_size: int, patch_size: int):
     """Shrinking step schedule: searchMargin-patchMargin, halving to 1."""
     step = search_size // 2 - patch_size // 2
@@ -51,6 +85,7 @@ def estimate_motion_vector(
     patch_size: int = 5,
     seed: np.ndarray | None = None,
     seed_mode: str = "shipped",
+    costfn: str = "sad",
 ) -> np.ndarray:
     """Dense integer block-matching flow [H, W, 2] (u=x, v=y), float32."""
     h, w = gray0.shape
@@ -87,7 +122,7 @@ def estimate_motion_vector(
                     (cy + dy)[:, :, None, None] + offs[None, None, :, None],
                     (cx + dx)[:, :, None, None] + offs[None, None, None, :],
                 )
-                sads[k] = np.abs(patches - cand).sum(axis=(2, 3))
+                sads[k] = patch_cost(patches, cand, costfn)
                 k += 1
         best = np.argmin(sads, axis=0)  # first min = row-major (dy, dx) order
         cy = cy + (best // 3 - 1) * step

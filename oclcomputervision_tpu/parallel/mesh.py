@@ -191,6 +191,11 @@ def raisr_upsample_sharded(
     s = cfg.scale
     h_loc = h // n
     assert halo <= h_loc, (halo, h_loc)
+    # the halo must cover the post-upscale receptive field (Sobel 1 +
+    # gauss_len//2 tensor + filter_len//2 filter HR rows) plus the
+    # bilinear upscale support, or interior shard seams corrupt silently
+    min_halo = -(-(cfg.gauss_len // 2 + 1 + cfg.filter_len // 2) // s) + 1
+    assert halo >= min_halo, (halo, min_halo)
     rows_lr = h_loc + 2 * halo
     rows_hr = rows_lr * s
 
@@ -205,7 +210,12 @@ def raisr_upsample_sharded(
     wgt_all = np.zeros((n, rows_hr, n_tap), np.float32)
     for i in range(n):
         q_g = np.clip((i * h_loc - halo) * s + np.arange(rows_hr), 0, h * s - 1)
-        idx_all[i] = yidx_g[q_g] - (i * h_loc - halo)
+        # clamp rebased indices into the extended shard: out-of-shard taps
+        # (the first extended rows of interior shards reference LR rows
+        # above the halo) only occur inside the s*halo crop, where the
+        # halo assert above guarantees the result is discarded - clamping
+        # keeps the one-hot from silently zero-weighting them
+        idx_all[i] = np.clip(yidx_g[q_g] - (i * h_loc - halo), 0, rows_lr - 1)
         wgt_all[i] = yw_g[q_g]
     idx_c = jnp.asarray(idx_all)
     wgt_c = jnp.asarray(wgt_all)

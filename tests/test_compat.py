@@ -39,14 +39,30 @@ class TestUtilityCompat:
         assert util.bicubic_lds == util.bicubic  # same TPU kernel
 
     def test_bilinear(self, lenna_gray):
+        # the reference's `bilinear` method = bilinear_simple = the HW
+        # sampler's half-texel numerics (SURVEY.md fidelity note 11)
         util = compat.Utility()
         src = np.stack([lenna_gray[:32, :32]] * 3, axis=-1)
         dst = np.zeros((64, 64, 3), np.uint8)
         util.bilinear(src, dst)
         from oclcomputervision_tpu.oracle.interpolation import resize_uint8
 
-        want = resize_uint8(src, (64, 64), "bilinear")
+        want = resize_uint8(src, (64, 64), "bilinear", mapping="hw_sampler")
         assert np.abs(dst.astype(int) - want.astype(int)).max() <= 1
+
+    def test_bilinear_lds_is_align_corners_and_differs_from_simple(self, lenna_gray):
+        util = compat.Utility()
+        src = np.stack([lenna_gray[:32, :32]] * 3, axis=-1)
+        d_simple = np.zeros((64, 64, 3), np.uint8)
+        d_lds = np.zeros((64, 64, 3), np.uint8)
+        util.bilinear(src, d_simple)
+        util.bilinear_lds(src, d_lds)
+        from oclcomputervision_tpu.oracle.interpolation import resize_uint8
+
+        want = resize_uint8(src, (64, 64), "bilinear")
+        assert np.abs(d_lds.astype(int) - want.astype(int)).max() <= 1
+        # the two conventions are observably different kernels
+        assert not np.array_equal(d_simple, d_lds)
 
 
 class TestMotionCompat:

@@ -65,6 +65,44 @@ class TestOps:
         np.testing.assert_allclose(batch[0], single, atol=1e-5)
         np.testing.assert_allclose(batch[1], single, atol=1e-5)
 
+    @pytest.mark.parametrize("mapping", ["hw_sampler", "half_pixel"])
+    @pytest.mark.parametrize("out_scale", [2.0, 0.5])
+    def test_mapping_variants_match_oracle(self, lenna_gray, mapping, out_scale):
+        src = lenna_gray[:96, :96]
+        out_hw = (int(96 * out_scale), int(96 * out_scale))
+        want = onp.resize_align_corners(src, out_hw, "bilinear", mapping=mapping)
+        got = np.asarray(ops.resize(src, out_hw, "bilinear", mapping=mapping))
+        assert np.max(np.abs(got - want)) < 0.01
+
+    def test_hw_sampler_formula(self, lenna_gray):
+        # bilinear_simple (interpolation.cl:11-13): src = out/(Wout-1)*Win - 0.5,
+        # linear filter, clamp-to-edge - checked against a direct per-pixel eval
+        src = lenna_gray[:17, :23].astype(np.float64)
+        h, w = src.shape
+        hn, wn = 2 * h, 2 * w
+        got = onp.resize_align_corners(src, (hn, wn), "bilinear", mapping="hw_sampler")
+        for oy, ox in [(0, 0), (1, 3), (hn - 1, wn - 1), (7, 11)]:
+            sy = oy / (hn - 1) * h - 0.5
+            sx = ox / (wn - 1) * w - 0.5
+            y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+            vy, ux = sy - y0, sx - x0
+            c = lambda y, x: src[np.clip(y, 0, h - 1), np.clip(x, 0, w - 1)]
+            want = (
+                (1 - vy) * ((1 - ux) * c(y0, x0) + ux * c(y0, x0 + 1))
+                + vy * ((1 - ux) * c(y0 + 1, x0) + ux * c(y0 + 1, x0 + 1))
+            )
+            assert abs(got[oy, ox] - want) < 1e-9
+
+    def test_half_pixel_matches_cv2(self, lenna_gray):
+        import cv2
+
+        src = lenna_gray[:64, :96]
+        got = np.asarray(ops.resize(src, (128, 192), "bilinear", mapping="half_pixel"))
+        want = cv2.resize(
+            src.astype(np.float32), (192, 128), interpolation=cv2.INTER_LINEAR
+        )
+        assert np.max(np.abs(got - want)) < 1e-3
+
     def test_quality_vs_cv2(self, lenna_gray):
         # protocol shaped on basic/interpolation.py:139-145 (PSNR harness):
         # our align-corners result should be close to cv2's half-pixel

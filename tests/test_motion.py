@@ -49,6 +49,39 @@ class TestOpsVsOracle:
         got = np.asarray(ops.estimate_motion_vector(f0, f1, 15, 5, seed_mode=seed_mode))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("costfn", ["ssd", "wsad_shipped", "wsad"])
+    def test_costfn_variants_match_oracle(self, frames_gray, costfn):
+        g0, g1 = frames_gray
+        f0 = g0[100:148, 200:264]
+        f1 = g1[100:148, 200:264]
+        want = onp.estimate_motion_vector(f0, f1, 15, 5, costfn=costfn)
+        got = np.asarray(ops.estimate_motion_vector(f0, f1, 15, 5, costfn=costfn))
+        if costfn == "wsad_shipped":
+            # the matmul cost is float32; XLA's and numpy's summation
+            # orders differ, so near-tied candidates can flip
+            assert (got == want).all(axis=-1).mean() > 0.99
+        else:
+            np.testing.assert_array_equal(got, want)
+
+    def test_wsad_shipped_is_the_matmul_quirk(self):
+        # WSAD's np.dot is a matrix product, not elementwise weighting
+        # (me_pyramid.py:47, SURVEY.md fidelity note 9)
+        rng = np.random.default_rng(0)
+        p0 = rng.uniform(0, 255, (5, 5)).astype(np.float32)
+        p1 = rng.uniform(0, 255, (5, 5)).astype(np.float32)
+        w = onp.gaussian2d((5, 5), 2.0).astype(np.float32)
+        want = np.abs(np.dot(p0, w) - np.dot(p1, w)).sum()
+        got = onp.patch_cost(p0, p1, "wsad_shipped")
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert not np.allclose(got, onp.patch_cost(p0, p1, "wsad"))
+
+    def test_wsad_requires_exact_mode(self, frames_gray):
+        g0, g1 = frames_gray
+        with pytest.raises(ValueError):
+            ops.estimate_motion_vector(
+                g0[:32, :32], g1[:32, :32], method="fast", costfn="wsad_shipped"
+            )
+
     @pytest.mark.parametrize("seed_mode", ["shipped", "fixed"])
     def test_with_seed_bitexact(self, frames_gray, seed_mode):
         g0, g1 = frames_gray

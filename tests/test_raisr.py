@@ -109,6 +109,27 @@ class TestFullPipeline:
         b = np.asarray(ops.raisr_upsample(np.stack([lr, lr]), trained, tiny_cfg))
         np.testing.assert_array_equal(b[0], s)
 
+    @pytest.mark.parametrize("fidelity", ["shipped", "full"])
+    def test_four_channel_bgra(self, lenna_rgb, trained, tiny_cfg, fidelity):
+        # the reference's ClRaisr consumes BGRA images; the 4x4 CSC passes
+        # alpha through and the learned filter applies to it like YUV
+        # (raisr.py:20-33, raisr.cl:322-331)
+        cfg = RaisrConfig(fidelity=fidelity)
+        filters = None if fidelity == "shipped" else np.asarray(trained)
+        src3 = lenna_rgb[:32, :32]
+        alpha = np.full(src3.shape[:2] + (1,), 200, np.uint8)
+        src4 = np.concatenate([src3, alpha], axis=-1)
+        out4 = np.asarray(ops.raisr_upsample(src4, filters, cfg))
+        assert out4.shape == (64, 64, 4) and out4.dtype == np.uint8
+        # RGB result is independent of the extra channel
+        out3 = np.asarray(ops.raisr_upsample(src3, filters, cfg))
+        np.testing.assert_array_equal(out4[..., :3], out3)
+        # constant alpha stays ~constant through upscale + filtering
+        # (filters have ~unit DC response; the tiny test-corpus bank is
+        # a few percent off unity in edge buckets)
+        adiff = np.abs(out4[..., 3].astype(int) - 200)
+        assert adiff.mean() < 2 and adiff.max() <= 32
+
 
 class TestTraining:
     def test_self_upscale_beats_bilinear(self, lenna_gray_mod, trained, tiny_cfg):
