@@ -96,9 +96,9 @@ def bench_raisr(jax, jnp):
     filters = jnp.asarray(model.filters, jnp.float32)
     cfg = model.cfg
 
-    # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 8
+    # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 16
     # per call; natural-image content so the hash buckets are realistic.
-    batch, h, w = 8, 1024, 1024
+    batch, h, w = 16, 1024, 1024
     n_bufs, rounds = 2, 3
     from oclcomputervision_tpu.utils import load_gray
 

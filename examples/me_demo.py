@@ -71,6 +71,39 @@ def main():
     except Exception:
         pass
 
+    overlay = write_search_overlay(
+        g0, np.asarray(flows[-1]), 15, 5, os.path.join(args.outdir, "search_overlay.png")
+    )
+    if overlay:
+        print(f"search/flow overlay -> {overlay}")
+
+
+def write_search_overlay(g0, mv, search_size, patch_size, path, grid=24):
+    """Headless equivalent of the reference's visualizeSearch/visualizeME
+    cv2 windows (me_pyramid.py:51-84, 129): draws, on frame 0, the
+    search window + patch box at a sparse probe grid and the matched
+    displacement as an arrow, then writes ONE annotated image instead of
+    popping a window per pixel.
+    """
+    try:
+        import cv2
+    except ImportError:
+        return None
+    img = cv2.cvtColor(g0, cv2.COLOR_GRAY2BGR)
+    pm, sm = patch_size // 2, search_size // 2
+    h, w = g0.shape
+    for y in range(grid, h - grid, grid):
+        for x in range(grid, w - grid, grid):
+            u, v = mv[y, x]
+            cv2.rectangle(img, (x - sm, y - sm), (x + sm, y + sm), (80, 80, 80), 1)
+            cv2.rectangle(img, (x - pm, y - pm), (x + pm, y + pm), (0, 200, 0), 1)
+            cv2.arrowedLine(
+                img, (x, y), (int(round(x + u)), int(round(y + v))),
+                (0, 0, 255), 1, tipLength=0.35,
+            )
+    cv2.imwrite(path, img)
+    return path
+
 
 if __name__ == "__main__":
     main()

@@ -147,9 +147,18 @@ def histeq_global(
     """Global histogram equalization of uint8 [H, W] or [B, H, W].
 
     Single fused jitted op (vs the reference's 2 device dispatches + CPU
-    stage, eq_global.py:39-62). Defaults match eq_global.py:39.
+    stage, eq_global.py:39-62). Defaults match eq_global.py:39. On TPU
+    this dispatches to the Pallas VMEM-tiled kernel (the benchmarked
+    fast path - bit-identical, any geometry); elsewhere to the XLA
+    nibble-matmul formulation.
     """
     gray = jnp.asarray(gray)
+    if jax.default_backend() == "tpu":
+        from oclcomputervision_tpu.ops.pallas.histeq_pallas import (
+            histeq_global_pallas,
+        )
+
+        return histeq_global_pallas(gray, alpha, punch, clip)
     if gray.ndim == 3:
         return jax.vmap(lambda g: _histeq_global_2d(g, alpha, punch, clip))(gray)
     return _histeq_global_2d(gray, alpha, punch, clip)
@@ -267,8 +276,29 @@ def histeq_local_block(
     """
     gray = jnp.asarray(gray)
     bs = tuple(blockshape)
+    if jax.default_backend() == "tpu" and (bs[0] // 2 * (bs[1] // 2)) % 16384 == 0:
+        # fused Pallas blend (one-hot stacks at full lane utilization);
+        # geometry outside the kernel contract falls through to XLA
+        return _histeq_local_pallas(gray, alpha, punch, clip, bs, clahe_clip)
     if gray.ndim == 3:
         return jax.vmap(
             lambda g: _histeq_local_2d(g, alpha, punch, clip, bs, clahe_clip)
         )(gray)
     return _histeq_local_2d(gray, alpha, punch, clip, bs, clahe_clip)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "punch", "clip", "blockshape", "clahe_clip")
+)
+def _histeq_local_pallas(gray, alpha, punch, clip, blockshape, clahe_clip=0.0):
+    from oclcomputervision_tpu.ops.pallas.localeq_pallas import (
+        apply_block_mappings_pallas,
+    )
+
+    squeeze = gray.ndim == 2
+    g3 = gray[None] if squeeze else gray
+    maps = jax.vmap(
+        lambda g: block_mappings(g, alpha, punch, clip, blockshape, clahe_clip)
+    )(g3)
+    out = apply_block_mappings_pallas(g3, maps, blockshape)
+    return out[0] if squeeze else out

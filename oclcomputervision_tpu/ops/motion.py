@@ -122,6 +122,107 @@ def _estimate_2d(
     return jnp.stack([u, v], axis=-1)
 
 
+def _reachable_sets(steps):
+    """Per-axis displacement sets entering each search round."""
+    cur = {0}
+    sets = []
+    for st in steps:
+        sets.append(sorted(cur))
+        cur = {v + o * st for v in cur for o in (-1, 0, 1)}
+    return sets
+
+
+def _smap_count(steps) -> int:
+    """Distinct displacement maps the S-map search would build."""
+    total = set()
+    for st, vals in zip(steps, _reachable_sets(steps)):
+        q = {v + o * st for v in vals for o in (-1, 0, 1)}
+        total |= {(a, b) for a in q for b in q}
+    return len(total)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_size", "patch_size", "costfn")
+)
+def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
+    """Gather-free exact search for the unseeded case.
+
+    The per-pixel candidate-window gather (the oracle's
+    get_region_padded, me_pyramid.py:89-127) is the lane-hostile pattern
+    that capped the exact path at ~0.2 MP/s. Without a seed, every
+    pixel's displacement after round r lies in a SMALL static set (the
+    cumulative sums of the shrinking steps), so the whole search
+    reformulates as static shifts:
+
+      S_v(p) = sum_q cost(f0[p+q], f1[p+v+q])   (zero-padded shifts +
+                                                 separable box sums)
+      round r, candidate o: cost_o(p) = S_{d(p) + o*step}(p), selected
+      by the (d == v) masks over the reachable set.
+
+    Everything is int32 adds of the same values the oracle sums (order
+    differs; integer addition commutes exactly), so the result is
+    BIT-IDENTICAL to oracle/motion.py including first-minimum
+    tie-breaking. ~380 displacement maps for the default 15/5 geometry.
+    """
+    h, w = gray0.shape
+    pm = patch_size // 2
+    steps = me_steps(search_size, patch_size)
+    axis_sets = _reachable_sets(steps)
+    vmax = max(
+        abs(v + o * st)
+        for st, vals in zip(steps, axis_sets)
+        for v in vals
+        for o in (-1, 0, 1)
+    )
+    f0e = jnp.pad(gray0.astype(jnp.int32), pm)  # zeros (oracle padding)
+    pad1 = pm + vmax
+    f1e = jnp.pad(gray1.astype(jnp.int32), pad1)
+    he, we = h + 2 * pm, w + 2 * pm
+
+    smaps = {}
+
+    def smap(vy, vx):
+        if (vy, vx) in smaps:
+            return smaps[(vy, vx)]
+        y0, x0 = pad1 - pm + vy, pad1 - pm + vx
+        sl = jax.lax.slice(f1e, (y0, x0), (y0 + he, x0 + we))
+        if costfn == "sad":
+            d = jnp.abs(f0e - sl)
+        elif costfn == "ssd":
+            d = (f0e - sl) * (f0e - sl)
+        else:  # pragma: no cover - dispatcher falls back for WSAD
+            raise ValueError(costfn)
+        v = jnp.zeros((h, we), jnp.int32)
+        for k in range(patch_size):
+            v = v + jax.lax.slice(d, (k, 0), (k + h, we))
+        s = jnp.zeros((h, w), jnp.int32)
+        for k in range(patch_size):
+            s = s + jax.lax.slice(v, (0, k), (h, k + w))
+        smaps[(vy, vx)] = s
+        return s
+
+    dy = jnp.zeros((h, w), jnp.int32)
+    dx = jnp.zeros((h, w), jnp.int32)
+    for st, vals in zip(steps, axis_sets):
+        mys = {v: dy == v for v in vals}
+        mxs = {v: dx == v for v in vals}
+        costs = []
+        for oy in (-st, 0, st):
+            for ox in (-st, 0, st):
+                acc = jnp.zeros((h, w), jnp.int32)
+                for vy in vals:
+                    for vx in vals:
+                        acc = acc + jnp.where(
+                            mys[vy] & mxs[vx], smap(vy + oy, vx + ox), 0
+                        )
+                costs.append(acc)
+        best = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)
+        dy = dy + (best // 3 - 1) * st
+        dx = dx + (best % 3 - 1) * st
+
+    return jnp.stack([dx.astype(jnp.float32), dy.astype(jnp.float32)], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("search_size", "patch_size", "seed_mode", "has_seed", "costfn"),
@@ -236,6 +337,23 @@ def estimate_motion_vector(
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
     has_seed = seed is not None
+    steps = me_steps(search_size, patch_size)
+    if (
+        method == "exact"
+        and not has_seed
+        and costfn in ("sad", "ssd")
+        and _smap_count(steps) <= 1500
+    ):
+        # gather-free exact search (bit-identical, ~300x faster); the
+        # seeded case has unbounded per-pixel bases and keeps the
+        # windowed-gather path
+        if gray0.ndim == 3:
+            return jax.vmap(
+                lambda g0, g1: _estimate_2d_smap(
+                    g0, g1, search_size, patch_size, costfn
+                )
+            )(gray0, gray1)
+        return _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn)
     impl = {"exact": _estimate_2d, "fast": _estimate_2d_fast}[method]
     s = jnp.asarray(seed) if has_seed else jnp.zeros((1,), jnp.float32)
     if gray0.ndim == 3:

@@ -155,8 +155,11 @@ def histeq_global_pallas(
 ) -> jnp.ndarray:
     """Fused global histeq via the Pallas kernels; [H, W] or [B, H, W].
 
-    Requires H*W % TILE_P == 0 (use ops.histeq.histeq_global, the XLA
-    twin, for arbitrary shapes).
+    Any image size: images whose pixel count is not a TILE_P multiple
+    are zero-padded for the tiled kernels; the histogram is exact
+    because the pad count is subtracted back out of bin 0 (integer
+    counts - no rounding), and the LUT-applied pad pixels are cropped.
+    Bit-identical to ops.histeq.histeq_global, the XLA twin.
     """
     from oclcomputervision_tpu.ops.histeq import calc_transfer_func
 
@@ -165,7 +168,13 @@ def histeq_global_pallas(
     g3 = gray[None] if squeeze else gray
     b = g3.shape[0]
     flat = g3.reshape(b, -1)
+    n = flat.shape[1]
+    pad = (-n) % TILE_P
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
     hist = hist256_pallas(flat, interpret=interpret)
+    if pad:
+        hist = hist.at[:, 0].add(-float(pad))
     luts = calc_transfer_func(hist, alpha, punch, clip).astype(jnp.uint8)
-    out = apply_lut_pallas(flat, luts, interpret=interpret).reshape(g3.shape)
+    out = apply_lut_pallas(flat, luts, interpret=interpret)[:, :n].reshape(g3.shape)
     return out[0] if squeeze else out

@@ -6,7 +6,7 @@ the all-bucket response tensor r [N, 216] and the bucket one-hot in HBM
 (~7 GB at 4 MP out); this kernel keeps both in VMEM per tile:
 
   per output row tile (one pixel-type phase at a time):
-    DMA the 4 parity planes' row band (halo 5) into VMEM
+    DMA the s^2 parity planes' row band (halo 2*hp) into VMEM
     per RC-row chunk:
       build the tap matrix Pm [128, RC, W] with 121 contiguous block
         copies (taps live on sublanes; stride-free because parity
@@ -21,8 +21,16 @@ The bank is bf16 (taps), patches bf16, accumulation fp32: response
 error ~0.3% of the value - well inside RAISR's own model error (PSNR
 vs the fp64 oracle > 45 dB).
 
-Geometry contract (the wrapper pads): w2 % 128 == 0, h2 % TILE_H == 0,
-planes are [4, h2 + HALO_ROWS, w2 + 128] fp32.
+Plane convention (shared with ops/raisr's plane-space pipeline): the
+parity planes are ORIGIN-ALIGNED with halo hp = ceil((fl//2)/s):
+
+    planes[a*s + b][hp + i, hp + j] = up_e(s*i + a, s*j + b)
+
+where up_e is the edge-replicated cheap upscale; out-of-image plane
+entries replicate the boundary (exactly the reference's edge padding,
+raisr.cl:170-193's clamped preload). Geometry contract (the wrapper
+pads): w2 % 128 == 0, h2 % TILE_H == 0, planes are
+[s*s, h2 + HALO_ROWS, w2 + 128] fp32 and 2*hp <= HALO_ROWS.
 """
 
 from __future__ import annotations
@@ -36,8 +44,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64  # output rows per grid step
-HALO_ROWS = 8  # (filter_len // 2) // scale + filter extent, padded to 8
+HASH_TILE_H = 32  # hash kernel rows per grid step (fits its fatter scratch)
+HALO_ROWS = 8  # >= 2 * plane halo, padded to a sublane multiple
 NB_PAD = 224  # 216 buckets padded to a sublane multiple
+
+
+def plane_halo(fl: int, s: int, gauss_len: int = 9) -> int:
+    """Origin-aligned plane halo covering the filter's reach AND the
+    hash stage's (Sobel 1 + structure-tensor blur gauss_len//2)."""
+    return max(-(-(fl // 2) // s), -(-(gauss_len // 2) // s) + 1)
 
 
 def _row_chunk(w2: int) -> int:
@@ -49,33 +64,43 @@ def _row_chunk(w2: int) -> int:
     return rc
 
 
-def _make_kernel(fl: int, s: int, py: int, px: int, w2: int):
-    n_taps = fl * fl
-    rc = _row_chunk(w2)
+def _tap_tables(fl: int, s: int, py: int, px: int, hp: int):
+    """Static per-tap (plane index, in-band row/col offset) tables.
 
-    # static per-tap plane + offset tables
-    tap_plane = []
-    tap_off = []
+    Output pixel (s*y + py, s*x + px) tap (ti, tj) reads full-res
+    (s*y + py - m + ti, ...) = plane (py - m + ti) % s at plane row
+    y + (py - m + ti)//s; with the origin shift hp the in-band offset
+    hp + (py - m + ti)//s is a static value in [0, 2*hp].
+    """
+    m = fl // 2
+    tap_plane, tap_off = [], []
     for ti in range(fl):
         for tj in range(fl):
-            a, roff = (py + ti) % s, (py + ti) // s
-            b, coff = (px + tj) % s, (px + tj) // s
+            a, ro = (py - m + ti) % s, (py - m + ti) // s
+            b, co = (px - m + tj) % s, (px - m + tj) // s
             tap_plane.append(a * s + b)
-            tap_off.append((roff, coff))
+            tap_off.append((hp + ro, hp + co))
+    return tap_plane, tap_off
+
+
+def _make_kernel(fl: int, s: int, py: int, px: int, w2: int, hp: int):
+    n_taps = fl * fl
+    rc = _row_chunk(w2)
+    tap_plane, tap_off = _tap_tables(fl, s, py, px, hp)
 
     def kernel(bucket_ref, wmat_ref, planes_hbm, out_ref, buf, pm_buf, sems):
-        i = pl.program_id(0)
-        # DMA the 4 parity planes' row band (TILE_H + halo) into VMEM
-        for p in range(s * s):
-            dma = pltpu.make_async_copy(
-                planes_hbm.at[p, pl.ds(i * TILE_H, TILE_H + HALO_ROWS), :],
-                buf.at[p],
-                sems.at[p],
-            )
-            dma.start()
+        bi = pl.program_id(0)  # batch image
+        i = pl.program_id(1)  # row tile
+        # DMA the parity planes' row band (TILE_H + halo) into VMEM
         for p in range(s * s):
             pltpu.make_async_copy(
-                planes_hbm.at[p, pl.ds(i * TILE_H, TILE_H + HALO_ROWS), :],
+                planes_hbm.at[bi, p, pl.ds(i * TILE_H, TILE_H + HALO_ROWS), :],
+                buf.at[p],
+                sems.at[p],
+            ).start()
+        for p in range(s * s):
+            pltpu.make_async_copy(
+                planes_hbm.at[bi, p, pl.ds(i * TILE_H, TILE_H + HALO_ROWS), :],
                 buf.at[p],
                 sems.at[p],
             ).wait()
@@ -105,39 +130,300 @@ def _make_kernel(fl: int, s: int, py: int, px: int, w2: int):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [NB_PAD, rc*w2]
+            # (a bf16 select variant measured a wash end-to-end - the
+            # per-row one-hot select is not the phase bottleneck)
             for r in range(rc):
-                brow = bucket_ref[pl.ds(r0 + r, 1), :]  # [1, w2] int32
+                brow = bucket_ref[0, pl.ds(r0 + r, 1), :]  # [1, w2] int32
                 oh = (brow == nbit).astype(jnp.float32)
-                out_ref[pl.ds(r0 + r, 1), :] = jnp.sum(
+                out_ref[0, pl.ds(r0 + r, 1), :] = jnp.sum(
                     oh * resp[:, r * w2 : (r + 1) * w2], axis=0, keepdims=True
                 )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fl", "s", "py", "px", "interpret"))
-def _apply_phase(planes, bucket_t, wmat, fl, s, py, px, interpret=False):
-    """planes [s*s, h2+HALO, w2+128] f32, bucket_t [h2, w2] i32,
-    wmat [NB_PAD, 128] bf16 -> out [h2, w2] f32."""
-    h2, w2 = bucket_t.shape
-    kernel = _make_kernel(fl, s, py, px, w2)
+@functools.partial(
+    jax.jit, static_argnames=("fl", "s", "py", "px", "hp", "interpret")
+)
+def _apply_phase(planes, bucket_t, wmat, fl, s, py, px, hp, interpret=False):
+    """planes [B, s*s, h2+HALO, w2+128] f32 (origin (hp, hp)), bucket_t
+    [B, h2, w2] i32, wmat [NB_PAD, 128] bf16 -> out [B, h2, w2] f32.
+
+    The batch rides the leading grid axis: one launch serves the whole
+    image stack (kernel-launch count is the dominant overhead on this
+    runtime at single-image sizes).
+    """
+    nb, h2, w2 = bucket_t.shape
+    nimg = planes.shape[0]
+    assert nimg % nb == 0, (nimg, nb)
+    assert 2 * hp <= HALO_ROWS, (hp, HALO_ROWS)
+    kernel = _make_kernel(fl, s, py, px, w2, hp)
     return pl.pallas_call(
         kernel,
-        grid=(h2 // TILE_H,),
+        grid=(nimg, h2 // TILE_H),
         in_specs=[
-            pl.BlockSpec((TILE_H, w2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # channel stacks share one bucket map: image c*nb + b reads
+            # bucket b (zero-copy - the modulo lives in the index map)
+            pl.BlockSpec(
+                (1, TILE_H, w2), lambda b, i: (b % nb, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wmat, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
         ],
-        out_specs=pl.BlockSpec((TILE_H, w2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h2, w2), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, w2), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nimg, h2, w2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((s * s, TILE_H + HALO_ROWS, planes.shape[2]), jnp.float32),
+            pltpu.VMEM((s * s, TILE_H + HALO_ROWS, planes.shape[3]), jnp.float32),
             pltpu.VMEM((128, _row_chunk(w2), w2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((s * s,)),
         ],
         interpret=interpret,
     )(bucket_t, wmat, planes)
+
+
+def _make_hash_kernel(cfg, w2p: int, wq: int):
+    """Plane-space RAISR hash (raisr.cl stages 4-5) as one VMEM-resident
+    kernel: Sobel gradients, 9x9 separable structure-tensor blur, eigen
+    analysis, and (angle, strength, coherence) bucketing - per row band,
+    all phases at once. The XLA twin (ops/raisr.hash_planes) round-trips
+    ~50x the image size in fp32 intermediates through HBM (measured
+    4.1 ms/img of the 7.5 ms batched pipeline); here the only HBM
+    traffic is the plane band in and the int32 bucket tile out.
+
+    Angle bucketing: Mosaic has no atan2, so floor(theta/pi*NA) is
+    computed as NA-1 half-plane sign tests. Map (u, v) = (l1 - d, b) to
+    the upper half-plane (flip both signs when v < 0); then
+    theta >= k*pi/NA  <=>  v'*cos(a_k) - u'*sin(a_k) > 0 (strict >, so
+    the zero vector lands in bucket 0 like atan2(0, 0) = 0, and the
+    v = 0, u < 0 ray passes every test -> bucket NA-1, matching the XLA
+    path's clip of the pi-wrapped atan2). Only values EXACTLY on a
+    bucket boundary can differ from the XLA path (fp-measure-zero).
+    """
+    from oclcomputervision_tpu.oracle.raisr import SOBEL_X, SOBEL_Y
+    from oclcomputervision_tpu.ops.raisr import _blur_k1
+
+    s = cfg.scale
+    hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
+    g = cfg.gauss_len // 2
+    bh = -(-g // s)  # plane halo of the blur stage
+    na = cfg.num_angle
+    k1 = [float(v) for v in _blur_k1(cfg)]
+
+    ext_c = w2p + 2 * bh
+    bounds = [
+        (float(np.cos(np.pi * k / na)), float(np.sin(np.pi * k / na)))
+        for k in range(1, na)
+    ]
+    squant = [float(v) for v in cfg.strength_quantizers]
+    cquant = [float(v) for v in cfg.coherence_quantizers]
+
+    def kernel(planes_hbm, out_ref, buf, t3, vbuf, sems):
+        bi = pl.program_id(0)
+        i = pl.program_id(1)
+        for p in range(s * s):
+            pltpu.make_async_copy(
+                planes_hbm.at[
+                    bi, p, pl.ds(i * HASH_TILE_H, HASH_TILE_H + HALO_ROWS), :
+                ],
+                buf.at[p],
+                sems.at[p],
+            ).start()
+        for p in range(s * s):
+            pltpu.make_async_copy(
+                planes_hbm.at[
+                    bi, p, pl.ds(i * HASH_TILE_H, HASH_TILE_H + HALO_ROWS), :
+                ],
+                buf.at[p],
+                sems.at[p],
+            ).wait()
+
+        # stage 1: gradients + squared-tensor products for every phase,
+        # rows with a bh-plane halo (the vertical blur's reach), cols
+        # with the same halo for the horizontal pass
+        for p_src in range(s * s):
+            a, b = divmod(p_src, s)
+
+            def rd(dr, dc):
+                a2, ro = (a + dr) % s, (a + dr) // s
+                b2, co = (b + dc) % s, (b + dc) // s
+                return buf[
+                    a2 * s + b2,
+                    pl.ds(hp - bh + ro, HASH_TILE_H + 2 * bh),
+                    pl.ds(hp - bh + co, ext_c),
+                ]
+
+            gx = None
+            gy = None
+            for u in range(3):
+                for v in range(3):
+                    cx = float(SOBEL_X[u, v])
+                    cy = float(SOBEL_Y[u, v])
+                    if cx == 0.0 and cy == 0.0:
+                        continue
+                    t = rd(u - 1, v - 1)
+                    if cx != 0.0:
+                        gx = cx * t if gx is None else gx + cx * t
+                    if cy != 0.0:
+                        gy = cy * t if gy is None else gy + cy * t
+            t3[0, p_src] = gx * gx
+            t3[1, p_src] = gx * gy
+            t3[2, p_src] = gy * gy
+
+        # stage 2: vertical blur for every (out-row-phase, src-col-phase)
+        # pair - the horizontal pass mixes column phases, so each column
+        # phase's vertical result must be kept
+        for a_out in range(s):
+            for b_src in range(s):
+                for t in range(3):
+                    vp = None
+                    for u in range(cfg.gauss_len):
+                        a2, ro = (a_out + u - g) % s, (a_out + u - g) // s
+                        term = k1[u] * t3[
+                            t, a2 * s + b_src, pl.ds(bh + ro, HASH_TILE_H), :
+                        ]
+                        vp = term if vp is None else vp + term
+                    vbuf[t, a_out * s + b_src] = vp
+
+        # stage 3: horizontal blur + eigen + bucket, per output phase
+        for p_out in range(s * s):
+            a, b = divmod(p_out, s)
+            abd = []
+            for t in range(3):
+                hp_acc = None
+                for u in range(cfg.gauss_len):
+                    b2, co = (b + u - g) % s, (b + u - g) // s
+                    term = k1[u] * vbuf[
+                        t, a * s + b2, :, pl.ds(bh + co, w2p)
+                    ]
+                    hp_acc = term if hp_acc is None else hp_acc + term
+                abd.append(hp_acc)
+            ta, tb, td = abd
+
+            tr = ta + td
+            det = ta * td - tb * tb
+            disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+            l1 = tr / 2.0 + disc
+            l2 = tr / 2.0 - disc
+
+            # angle bucket via half-plane sign tests (see docstring)
+            uu = l1 - td
+            flip = tb < 0.0
+            u2 = jnp.where(flip, -uu, uu)
+            v2 = jnp.where(flip, -tb, tb)
+            aidx = jnp.zeros_like(uu, dtype=jnp.int32)
+            for ck, sk in bounds:
+                aidx = aidx + (v2 * ck - u2 * sk > 0.0).astype(jnp.int32)
+
+            sidx = jnp.zeros_like(aidx)
+            for q in squant:
+                sidx = sidx + (l1 >= q).astype(jnp.int32)
+
+            sq1 = jnp.sqrt(jnp.maximum(l1, 0.0))
+            sq2 = jnp.sqrt(jnp.maximum(l2, 0.0))
+            cidx = jnp.zeros_like(aidx)
+            nz = (sq1 + sq2) != 0.0
+            for q in cquant:
+                # coherence >= q  <=>  (1-q) sq1 >= (1+q) sq2, denom > 0
+                cidx = cidx + (
+                    nz & ((1.0 - q) * sq1 - (1.0 + q) * sq2 >= 0.0)
+                ).astype(jnp.int32)
+
+            out_ref[0, p_out] = (
+                aidx * (len(squant) + 1) + sidx
+            ) * (len(cquant) + 1) + cidx
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def hash_planes_pallas(planes, cfg, interpret: bool = False):
+    """Bucket planes [B, s*s, h2p, w2p] int32 from upscale planes
+    [B, s*s, h2p + HALO_ROWS, w2p + 128] f32 (origin-aligned)."""
+    nb = planes.shape[0]
+    s = cfg.scale
+    g = cfg.gauss_len // 2
+    bh = -(-g // s)
+    h2p = planes.shape[2] - HALO_ROWS
+    w2p = planes.shape[3] - 128
+    wq = planes.shape[3]
+    kernel = _make_hash_kernel(cfg, w2p, wq)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, h2p // HASH_TILE_H),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, s * s, HASH_TILE_H, w2p),
+            lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, s * s, h2p, w2p), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((s * s, HASH_TILE_H + HALO_ROWS, wq), jnp.float32),
+            pltpu.VMEM(
+                (3, s * s, HASH_TILE_H + 2 * bh, w2p + 2 * bh), jnp.float32
+            ),
+            pltpu.VMEM((3, s * s, HASH_TILE_H, w2p + 2 * bh), jnp.float32),
+            pltpu.SemaphoreType.DMA((s * s,)),
+        ],
+        interpret=interpret,
+    )(planes)
+
+
+def _phase_wmats(filters: jnp.ndarray, cfg) -> list:
+    """Per-pixel-type padded weight matrices [NB_PAD, 128] bf16."""
+    fl = cfg.filter_len
+    nb = cfg.num_angle * cfg.num_strength * cfg.num_coherence
+    wall = filters.reshape(nb, cfg.num_pixel_type, fl * fl)
+    mats = []
+    for t in range(cfg.num_pixel_type):
+        wmat = jnp.zeros((NB_PAD, 128), jnp.float32)
+        wmat = wmat.at[:nb, : fl * fl].set(wall[:, t])
+        mats.append(wmat.astype(jnp.bfloat16))
+    return mats
+
+
+def apply_filters_planes(
+    planes: jnp.ndarray,
+    bucket_planes: jnp.ndarray,
+    filters: jnp.ndarray,
+    cfg,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused filter select+apply, plane-space in and out.
+
+    planes [(B,) s*s, h2+HALO_ROWS, w2+128] f32 (origin-aligned, see
+    module docstring), bucket_planes [(B,) s*s, h2, w2] int32 (combined
+    angle/strength/coherence index < 216, phase p = py*s + px),
+    filters [num_filters, fl, fl]. Returns filtered phases
+    [(B,) s*s, h2, w2] f32 - never materializing a full-res interleaved
+    array (the round-1 wrapper's 16 MB pad+transpose glue). A batch dim
+    rides the kernel grid: 4 launches per stack, not per image. The
+    planes batch may be a CHANNEL-STACKED multiple of the bucket batch
+    (color images hash once on luma; every channel's grid step reads the
+    shared bucket block, raisr.cl:322-331's all-channel dispatch).
+    """
+    s = cfg.scale
+    hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
+    wmats = _phase_wmats(filters, cfg)
+    squeeze = planes.ndim == 3
+    if squeeze:
+        planes = planes[None]
+        bucket_planes = bucket_planes[None]
+    outs = []
+    for py in range(s):
+        for px in range(s):
+            t = py * s + px
+            outs.append(
+                _apply_phase(
+                    planes, bucket_planes[:, t], wmats[t], cfg.filter_len, s,
+                    py, px, hp, interpret,
+                )
+            )
+    stacked = jnp.stack(outs, axis=1)  # [B, s*s, h2, w2]
+    return stacked[0] if squeeze else stacked
 
 
 def apply_filters_pallas(
@@ -147,16 +433,18 @@ def apply_filters_pallas(
     cfg,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused filter select+apply for a single luma plane.
+    """Fused filter select+apply for a single INTERLEAVED luma plane.
 
-    up_y [h, w] float32 (cheap-upscaled), bucket [h, w] int32 (combined
-    angle/strength/coherence index < 216), filters [num_filters, fl, fl].
-    Returns the filtered plane [h, w] float32.
+    up_y [h, w] float32 (cheap-upscaled), bucket [h, w] int32, filters
+    [num_filters, fl, fl]. Returns the filtered plane [h, w] float32.
+    Deinterleaves into origin-aligned parity planes, then runs the
+    plane-space kernel. The fully plane-native pipeline
+    (ops/raisr.raisr_upsample on TPU) skips this wrapper - it is kept
+    for interleaved inputs (the spatially-sharded path).
     """
     s = cfg.scale
     fl = cfg.filter_len
-    m = fl // 2
-    nb = cfg.num_angle * cfg.num_strength * cfg.num_coherence
+    hp = plane_halo(fl, s, cfg.gauss_len)
     h, w = up_y.shape
     h2, w2 = h // s, w // s
 
@@ -164,33 +452,27 @@ def apply_filters_pallas(
     w2p = -(-w2 // 128) * 128
     h2p = -(-h2 // TILE_H) * TILE_H
 
-    xp = jnp.pad(up_y.astype(jnp.float32), ((m, m), (m, m)), mode="edge")
+    # origin-aligned planes: pad s*hp on top/left (edge), then to the
+    # contracted [s*s, h2p + HALO_ROWS, w2p + 128] size.
     # parity-plane deinterleave via reshape+transpose: stride-s slices
     # relayout lane-by-lane (measured 11x slower than one transpose)
     hq, wq = h2p + HALO_ROWS, w2p + 128
-    xpz = jnp.pad(
-        xp, ((0, s * hq - xp.shape[0]), (0, s * wq - xp.shape[1]))
-    )
-    planes = (
-        xpz.reshape(hq, s, wq, s).transpose(1, 3, 0, 2).reshape(s * s, hq, wq)
-    )
+    # edge-pad all four sides (bottom/right taps of valid out rows reach
+    # up to fl//2 <= s*hp past the image), then zero-fill to size
+    xp = jnp.pad(up_y.astype(jnp.float32), s * hp, mode="edge")
+    xpz = jnp.pad(xp, ((0, s * hq - xp.shape[0]), (0, s * wq - xp.shape[1])))
+    planes = xpz.reshape(hq, s, wq, s).transpose(1, 3, 0, 2).reshape(s * s, hq, wq)
 
     bz = jnp.pad(bucket, ((0, s * h2p - h), (0, s * w2p - w)))
-    bdeint = bz.reshape(h2p, s, w2p, s).transpose(1, 3, 0, 2)
+    bucket_planes = (
+        bz.reshape(h2p, s, w2p, s).transpose(1, 3, 0, 2).reshape(s * s, h2p, w2p)
+    )
 
-    wall = filters.reshape(nb, cfg.num_pixel_type, fl * fl)
-    out_phases = []
-    for py in range(s):
-        row = []
-        for px in range(s):
-            t = py * s + px
-            wmat = jnp.zeros((NB_PAD, 128), jnp.float32)
-            wmat = wmat.at[:nb, : fl * fl].set(wall[:, t])
-            b_t = bdeint[py, px]
-            o = _apply_phase(
-                planes, b_t, wmat.astype(jnp.bfloat16), fl, s, py, px, interpret
-            )
-            row.append(o[:h2, :w2])
-        out_phases.append(row)
-    stacked = jnp.stack([jnp.stack(r) for r in out_phases])  # [s, s, h2, w2]
-    return stacked.transpose(2, 0, 3, 1).reshape(h, w)
+    stacked = apply_filters_planes(planes, bucket_planes, filters, cfg, interpret)
+    # re-interleave: out[s*i+py, s*j+px] = stacked[py*s+px][i, j]
+    out = (
+        stacked.reshape(s, s, h2p, w2p)
+        .transpose(2, 0, 3, 1)
+        .reshape(s * h2p, s * w2p)
+    )
+    return out[:h, :w]

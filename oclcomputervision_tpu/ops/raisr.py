@@ -65,21 +65,16 @@ def _gauss_blur_valid(img: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
     return out2
 
 
-def hash_components(up_y: jnp.ndarray, cfg: RaisrConfig):
-    """Per-pixel (angle_idx, strength_idx, coherence_idx), each [H, W] int32."""
+def _blur_k1(cfg: RaisrConfig) -> np.ndarray:
+    """1D factor of the separable structure-tensor Gaussian window."""
     g = cfg.gauss_len // 2
-    pad = g + 1
-    y = jnp.pad(up_y.astype(jnp.float32), pad, mode="edge")
-    gx = _correlate2d_valid(y, oracle_raisr.SOBEL_X)
-    gy = _correlate2d_valid(y, oracle_raisr.SOBEL_Y)
-
     w2d = oracle_raisr.gaussian2d((cfg.gauss_len, cfg.gauss_len), cfg.gauss_sigma)
-    k1 = w2d[g] / np.sqrt(w2d[g, g])
+    return w2d[g] / np.sqrt(w2d[g, g])
 
-    a = _gauss_blur_valid(gx * gx, k1)
-    b = _gauss_blur_valid(gx * gy, k1)
-    d = _gauss_blur_valid(gy * gy, k1)
 
+def _eigen_bucket(a, b, d, cfg: RaisrConfig):
+    """Structure tensor (a, b; b, d) -> (angle, strength, coherence)
+    indices, elementwise on arrays of any shape."""
     t = a + d
     det = a * d - b * b
     disc = jnp.sqrt(jnp.maximum(t * t / 4.0 - det, 0.0))
@@ -102,6 +97,21 @@ def hash_components(up_y: jnp.ndarray, cfg: RaisrConfig):
     cq = jnp.asarray(cfg.coherence_quantizers, jnp.float32)
     coherence_idx = jnp.sum(coherence[..., None] >= cq, axis=-1).astype(jnp.int32)
     return angle_idx, strength_idx, coherence_idx
+
+
+def hash_components(up_y: jnp.ndarray, cfg: RaisrConfig):
+    """Per-pixel (angle_idx, strength_idx, coherence_idx), each [H, W] int32."""
+    g = cfg.gauss_len // 2
+    pad = g + 1
+    y = jnp.pad(up_y.astype(jnp.float32), pad, mode="edge")
+    gx = _correlate2d_valid(y, oracle_raisr.SOBEL_X)
+    gy = _correlate2d_valid(y, oracle_raisr.SOBEL_Y)
+
+    k1 = _blur_k1(cfg)
+    a = _gauss_blur_valid(gx * gx, k1)
+    b = _gauss_blur_valid(gx * gy, k1)
+    d = _gauss_blur_valid(gy * gy, k1)
+    return _eigen_bucket(a, b, d, cfg)
 
 
 def hash_image(up_y: jnp.ndarray, cfg: RaisrConfig) -> jnp.ndarray:
@@ -250,6 +260,300 @@ def apply_filters_fast(
     return out[..., 0] if squeeze else out
 
 
+# ---------------------------------------------------------------------------
+# Plane-space (parity-phase) pipeline.
+#
+# The round-1 pipeline worked on full-res interleaved arrays and paid
+# ~16 MB of pad+transpose glue per image to feed the Pallas kernel's
+# parity planes. Here the ENTIRE pipeline is phase-native: the cheap
+# upscale emits origin-aligned parity planes directly (per-phase static
+# resize taps), gradients / structure-tensor blur are full-res stencils
+# re-expressed as shifted plane reads (a full-res offset (dr, dc) maps
+# to one (plane permutation, plane offset) pair - zero relayout), the
+# eigen/bucket math is pointwise per plane, and the filter kernel
+# consumes the planes as-is. The only interleaved array ever built is
+# the final uint8 output.
+#
+# Plane convention (shared with ops/pallas/raisr_pallas.py):
+#   planes[a*s + b][org_r + i, org_c + j] = up_e(s*i + a, s*j + b)
+# where up_e is the edge-replicated upscale at GLOBAL align-corners
+# coordinates.
+# ---------------------------------------------------------------------------
+
+
+def _phase_stencil_taps(n_in: int, s: int, phase: int, org: int, n_out: int):
+    """Per-phase 1D upscale as a variable-coefficient SHIFT stencil.
+
+    Plane index j samples full-res q = s*(j - org) + phase, i.e. source
+    coordinate x(q) = q*(n_in-1)/(s*n_in - 1) whose slope vs j is ~1:
+    the 2 linear taps always land within a few positions of j. So
+    instead of a lane gather (the slow path on TPU - measured 3.1 ms of
+    the 6.6 ms pipeline), the resize becomes a handful of SHIFTED
+    multiply-adds with constant weight vectors: out[j] = sum_d
+    wvec_d[j] * xpad[j + d]. In-range q reuses axis_weights' exact f32
+    taps (bit-identical values); out-of-range q extends the coordinate
+    map linearly so both taps land in the edge padding (== the clamped
+    edge-replicated value, with a tight offset range even across the
+    lane-alignment padding).
+
+    Returns (pad_lo, pad_hi, {offset d: weight vector [n_out] f32}),
+    with out[j] = sum_d w_d[j] * xpad[j + d + pad_lo].
+    """
+    from oclcomputervision_tpu.oracle.interpolation import axis_weights
+
+    q = s * (np.arange(n_out) - org) + phase
+    idx = np.empty((n_out, 2), np.int64)
+    wgt = np.empty((n_out, 2), np.float32)
+    inr = (q >= 0) & (q <= s * n_in - 1)
+    g_idx, g_w = axis_weights(s * n_in, n_in, "bilinear", dtype=np.float32)
+    idx[inr] = g_idx[q[inr]]
+    wgt[inr] = g_w[q[inr]]
+    xq = q[~inr].astype(np.float64) * (n_in - 1) / (s * n_in - 1)
+    i0 = np.floor(xq).astype(np.int64)
+    idx[~inr, 0] = i0
+    idx[~inr, 1] = i0 + 1
+    wgt[~inr, 0] = 1.0
+    wgt[~inr, 1] = 0.0
+
+    j = np.arange(n_out)
+    d_all = idx - j[:, None]
+    pad_lo = max(0, -int(d_all.min()))
+    pad_hi = max(0, int(d_all.max()) + n_out - n_in)
+    offs = {}
+    for k in range(2):
+        dk = d_all[:, k]
+        for d in np.unique(dk):
+            v = offs.setdefault(int(d), np.zeros(n_out, np.float32))
+            m = dk == d
+            v[m] += wgt[m, k]
+    return pad_lo, pad_hi, offs
+
+
+def upscale_planes(
+    x01: jnp.ndarray, cfg: RaisrConfig, h2p: int, w2p: int, hq: int, wq: int, hp: int
+) -> jnp.ndarray:
+    """Cheap-upscale a [..., h, w] float image directly into parity planes.
+
+    Returns [..., s*s, hq, wq] float32 with origin (hp, hp): plane rows
+    cover out rows [-hp, hq - hp), clamped to the image (edge
+    replication, matching the hash/apply stages' pad mode). Bit-identical
+    to deinterleaving ops.interpolation._resize_plane's output because
+    each in-image element evaluates the same 2-tap f32 expressions (see
+    _phase_stencil_taps).
+    """
+    s = cfg.scale
+    h, w = x01.shape[-2:]
+    lead = x01.shape[:-2]
+    x = x01.astype(jnp.float32)
+    nopad = [(0, 0)] * len(lead)
+
+    planes = []
+    for a in range(s):
+        pad_t, pad_b, roffs = _phase_stencil_taps(h, s, a, hp, hq)
+        xp = jnp.pad(x, nopad + [(pad_t, pad_b), (0, 0)], mode="edge")
+        v = jnp.zeros(lead + (hq, w), jnp.float32)
+        for d, wv in sorted(roffs.items()):
+            v = v + jnp.asarray(wv)[:, None] * xp[
+                ..., d + pad_t : d + pad_t + hq, :
+            ]
+        for b in range(s):
+            pad_l, pad_r, coffs = _phase_stencil_taps(w, s, b, hp, wq)
+            vp = jnp.pad(v, nopad + [(0, 0), (pad_l, pad_r)], mode="edge")
+            o = jnp.zeros(lead + (hq, wq), jnp.float32)
+            for d, wv in sorted(coffs.items()):
+                o = o + jnp.asarray(wv)[None, :] * vp[
+                    ..., :, d + pad_l : d + pad_l + wq
+                ]
+            planes.append(o)
+    return jnp.stack(planes, axis=-3)
+
+
+def _read_phases(planes, src_org, dr, dc, dst_org, rows, cols, s):
+    """Shifted full-res read, in plane space.
+
+    Source planes have origin ``src_org`` = (row, col). Returns
+    [..., s*s, rows, cols] where out[..., p, i, j] = the source value at
+    full-res (s*(i - dst_org[0]) + a + dr, s*(j - dst_org[1]) + b + dc)
+    for p = a*s + b: each full-res offset is one plane permutation plus
+    a static slice - never a strided gather.
+    """
+    so_r, so_c = src_org
+    do_r, do_c = dst_org
+    outs = []
+    for p in range(s * s):
+        a, b = divmod(p, s)
+        a2, ro = (a + dr) % s, (a + dr) // s
+        b2, co = (b + dc) % s, (b + dc) // s
+        r0 = so_r - do_r + ro
+        c0 = so_c - do_c + co
+        assert r0 >= 0 and c0 >= 0, (r0, c0, dr, dc)
+        outs.append(
+            planes[..., a2 * s + b2, r0 : r0 + rows, c0 : c0 + cols]
+        )
+    return jnp.stack(outs, axis=-3)
+
+
+def hash_planes(
+    y_planes: jnp.ndarray, cfg: RaisrConfig, hp: int, h2p: int, w2p: int
+) -> jnp.ndarray:
+    """Per-pixel hash bucket, computed entirely in plane space.
+
+    y_planes [..., s*s, h2p + pad, w2p + pad] (origin (hp, hp), halo >=
+    ceil((gauss_len//2 + 1)/s)); returns bucket planes
+    [..., s*s, h2p, w2p] int32 (leading batch dims pass through). Same tap values in the same accumulation order as
+    hash_image's interleaved stencils (raisr.cl:235-316 semantics with
+    the reference's 4 kernel bugs fixed - see oracle/raisr.py).
+    """
+    s = cfg.scale
+    g = cfg.gauss_len // 2
+    bh = -(-g // s)  # plane halo needed by the blur stage
+
+    def stencil3(kern):
+        out = None
+        for u in range(3):
+            for v in range(3):
+                cc = float(kern[u, v])
+                if cc == 0.0:
+                    continue
+                term = cc * _read_phases(
+                    y_planes, (hp, hp), u - 1, v - 1, (bh, bh),
+                    h2p + 2 * bh, w2p + 2 * bh, s,
+                )
+                out = term if out is None else out + term
+        return out
+
+    gx = stencil3(oracle_raisr.SOBEL_X)
+    gy = stencil3(oracle_raisr.SOBEL_Y)
+
+    k1 = _blur_k1(cfg)
+    t3 = jnp.stack([gx * gx, gx * gy, gy * gy])  # [3, s*s, .., ..] origin (bh, bh)
+
+    vpass = None
+    for u in range(cfg.gauss_len):
+        term = float(k1[u]) * _read_phases(
+            t3, (bh, bh), u - g, 0, (0, bh), h2p, w2p + 2 * bh, s
+        )
+        vpass = term if vpass is None else vpass + term
+    hpass = None
+    for u in range(cfg.gauss_len):
+        term = float(k1[u]) * _read_phases(
+            vpass, (0, bh), 0, u - g, (0, 0), h2p, w2p, s
+        )
+        hpass = term if hpass is None else hpass + term
+
+    ai, si, ci = _eigen_bucket(hpass[0], hpass[1], hpass[2], cfg)
+    return (ai * cfg.num_strength + si) * cfg.num_coherence + ci
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nchan", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "nchan", "interpret"))
+def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
+                          interpret=False):
+    """Fully plane-native batched RAISR: uint8 [B, H, W(, C)] in,
+    uint8 [B, sH, sW(, C)] out.
+
+    The fidelity='full' fast path: upscale -> hash -> filter without any
+    full-res interleaved intermediate. Every XLA stage carries the batch
+    as a leading dim and the Pallas kernel carries it as a grid axis, so
+    a whole stack costs 4 kernel launches (not 4 per image) and the
+    per-launch overhead that dominates this runtime at single-image
+    sizes amortizes away. Color shares the luma hash across channels.
+    """
+    from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+        HALO_ROWS,
+        TILE_H,
+        apply_filters_planes,
+        plane_halo,
+    )
+
+    s = cfg.scale
+    bsz, h, w = imgs_u8.shape[:3]
+    h2p = -(-h // TILE_H) * TILE_H
+    w2p = -(-w // 128) * 128
+    hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
+    # hash reads the upscale planes at Sobel offset 1 past the blur halo
+    assert hp >= -(-(cfg.gauss_len // 2) // s) + 1, (
+        "plane halo must cover the hash receptive field"
+    )
+    hq, wq = h2p + HALO_ROWS, w2p + 128
+
+    x01 = imgs_u8.astype(jnp.float32) / 255.0
+    if nchan == 1:
+        chan_planes = [upscale_planes(x01, cfg, h2p, w2p, hq, wq, hp)]
+    else:
+        chan_planes = [
+            upscale_planes(x01[..., c], cfg, h2p, w2p, hq, wq, hp)
+            for c in range(nchan)
+        ]  # each [B, s*s, hq, wq]
+
+    # CSC is linear and pointwise -> apply it in plane space
+    if nchan == 1:
+        yuv_planes = chan_planes
+    else:
+        csc = oracle_raisr.RGB2YUV
+        yuv_planes = [
+            sum(float(csc[r, c]) * chan_planes[c] for c in range(3))
+            for r in range(3)
+        ]
+        if nchan == 4:
+            yuv_planes.append(chan_planes[3])  # alpha passes through
+
+    if s == 2:
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import hash_planes_pallas
+
+        # VMEM-resident hash kernel: the XLA hash_planes twin spends
+        # ~4 ms/img round-tripping fp32 gradient/blur intermediates
+        # through HBM
+        bucket_pl = hash_planes_pallas(yuv_planes[0], cfg, interpret)
+    else:
+        # s >= 3 unrolls s^2 phase stencils in-kernel and blows the
+        # Mosaic VMEM stack; the XLA twin handles the general case
+        bucket_pl = hash_planes(yuv_planes[0], cfg, hp, h2p, w2p)
+
+    # single-launch color: channels stack into the kernel's batch grid
+    # axis and share the luma bucket block (reference raisr.cl:322-331
+    # filters all channels in the one dispatch)
+    nc = len(yuv_planes)
+    stacked_in = (
+        yuv_planes[0] if nc == 1 else jnp.concatenate(yuv_planes, axis=0)
+    )
+    stacked_out = apply_filters_planes(
+        stacked_in, bucket_pl, filters, cfg, interpret
+    )  # [nc*B, s*s, h2p, w2p]
+    filtered = [stacked_out[c * bsz : (c + 1) * bsz] for c in range(nc)]
+
+    if nchan == 1:
+        out_pl = [filtered[0]]
+    else:
+        inv = oracle_raisr.YUV2RGB
+        out_pl = [
+            sum(float(inv[r, c]) * filtered[c] for c in range(3)) for r in range(3)
+        ]
+        if nchan == 4:
+            out_pl.append(filtered[3])
+
+    u8 = [
+        jnp.clip(jnp.round(o * 255.0), 0, 255).astype(jnp.uint8) for o in out_pl
+    ]
+    # interleave in uint8 (4x less traffic than fp32), then crop
+    outs = []
+    for o in u8:
+        full = (
+            o.reshape(bsz, s, s, h2p, w2p)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(bsz, s * h2p, s * w2p)
+        )
+        outs.append(full[:, : s * h, : s * w])
+    return outs[0] if nchan == 1 else jnp.stack(outs, axis=-1)
+
+
+def _raisr_2d_planes(img_u8, filters, cfg: RaisrConfig, nchan: int, interpret=False):
+    """Single-image wrapper over the batched plane-native pipeline."""
+    return _raisr_planes_batched(
+        jnp.asarray(img_u8)[None], filters, cfg, nchan, interpret
+    )[0]
+
+
 def _csc(img, mat) -> jnp.ndarray:
     """3x3 color-space conversion of [..., 3] or [..., 4] channels.
 
@@ -313,15 +617,25 @@ def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
 def raisr_upsample(
     img: jnp.ndarray, filters: jnp.ndarray | None, cfg: RaisrConfig = RaisrConfig()
 ) -> jnp.ndarray:
-    """RAISR upsample of uint8 [H, W], [H, W, 3], or batched [B, ...]."""
+    """RAISR upsample of uint8 [H, W], [H, W, 3/4], or batched [B, ...]."""
     img = jnp.asarray(img)
     if filters is None:
         filters = jnp.zeros((cfg.num_filters, cfg.filter_len, cfg.filter_len), jnp.float32)
     filters = jnp.asarray(filters, jnp.float32)
     gray = img.ndim == 2 or (img.ndim == 3 and img.shape[-1] not in (3, 4))
-    if img.ndim == 2 or (img.ndim == 3 and not gray):
+
+    single = img.ndim == 2 or (img.ndim == 3 and not gray)
+    if cfg.fidelity == "full" and jax.default_backend() == "tpu":
+        # plane-native fast path: batched end-to-end (the batch rides
+        # every XLA stage and the kernel grid - one compiled program,
+        # 4 kernel launches per stack)
+        nchan = 1 if gray else img.shape[-1]
+        if single:
+            return _raisr_planes_batched(img[None], filters, cfg, nchan)[0]
+        return _raisr_planes_batched(img, filters, cfg, nchan)
+    if single:
         return _raisr_2d(img, filters, cfg, img.ndim == 2)
-    # batched
+    # batched legacy path
     # lax.map (sequential per image), NOT vmap: vmapping the phase
     # deinterleave/stack stacks tiny [1, H, W] slices whose padded
     # layout blows HBM by 128x.

@@ -58,10 +58,58 @@ class TestFusedHisteq:
             single = np.asarray(histeq_global_pallas(imgs[i], interpret=True))
             np.testing.assert_array_equal(got[i], single)
 
-    def test_rejects_unaligned(self, rng):
+    def test_unaligned_geometry_is_padded_and_exact(self, rng):
+        # the public API routes here on TPU for ANY geometry: the pad
+        # pixels are subtracted out of the histogram, so the result is
+        # bit-identical to the XLA twin
+        from oclcomputervision_tpu.ops.histeq import _histeq_global_2d
+
         img = rng.integers(0, 256, size=(100, 100), dtype=np.uint8)
-        with pytest.raises(AssertionError):
-            histeq_global_pallas(img, interpret=True)
+        got = np.asarray(histeq_global_pallas(img, interpret=True))
+        want = np.asarray(_histeq_global_2d(img, 1.0, 0.05, 2.0))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestLocalEqKernel:
+    def test_matches_xla_twin_1ulp(self, under_exposure_gray):
+        from oclcomputervision_tpu.ops import histeq as H
+        from oclcomputervision_tpu.ops.pallas.localeq_pallas import (
+            apply_block_mappings_pallas,
+        )
+
+        g = under_exposure_gray[:512, :1024]
+        m = np.asarray(H.block_mappings(g, 0.5, 0.05, 3.0, (256, 256)))
+        want = np.asarray(H.apply_block_mappings(g, m, (256, 256)))
+        got = np.asarray(
+            apply_block_mappings_pallas(g, m, (256, 256), interpret=True)
+        )
+        d = np.abs(got.astype(int) - want.astype(int))
+        # bf16 int+frac LUT split: flips only values essentially ON an
+        # integer boundary
+        assert d.max() <= 1 and (d > 0).mean() < 0.001
+
+    def test_batched_matches_single(self, under_exposure_gray):
+        from oclcomputervision_tpu.ops import histeq as H
+        from oclcomputervision_tpu.ops.pallas.localeq_pallas import (
+            apply_block_mappings_pallas,
+        )
+
+        g = under_exposure_gray[:512, :512]
+        g2 = g[::-1].copy()
+        ms = [
+            np.asarray(H.block_mappings(x, 0.5, 0.05, 3.0, (256, 256)))
+            for x in (g, g2)
+        ]
+        got = np.asarray(
+            apply_block_mappings_pallas(
+                np.stack([g, g2]), np.stack(ms), (256, 256), interpret=True
+            )
+        )
+        for i, x in enumerate((g, g2)):
+            single = np.asarray(
+                apply_block_mappings_pallas(x, ms[i], (256, 256), interpret=True)
+            )
+            np.testing.assert_array_equal(got[i], single)
 
 
 class TestRaisrApplyKernel:
@@ -113,6 +161,54 @@ class TestRaisrApplyKernel:
         fidx = bucket * 4 + onp.pixel_type_map(h, w, 2)
         want = onp.apply_filters(up.astype(np.float64), fidx, filters, cfg)
         assert np.abs(got - want).max() < 0.01
+
+    def test_planes_wrapper_matches_interleaved(self, rng):
+        # apply_filters_planes is the plane-native core; the interleaved
+        # apply_filters_pallas wrapper deinterleaves into the same
+        # origin-aligned convention, so both must agree bit-for-bit
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            HALO_ROWS,
+            apply_filters_pallas,
+            apply_filters_planes,
+            plane_halo,
+        )
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        s = cfg.scale
+        h, w = 128, 256
+        h2, w2 = h // s, w // s  # 64, 128: already aligned
+        up = rng.random((h, w)).astype(np.float32)
+        bucket = rng.integers(0, 216, size=(h, w)).astype(np.int32)
+        filters = (rng.standard_normal((cfg.num_filters, 11, 11)) * 0.05).astype(
+            np.float32
+        )
+        via_wrapper = np.asarray(
+            apply_filters_pallas(
+                jnp.asarray(up), jnp.asarray(bucket), jnp.asarray(filters), cfg,
+                interpret=True,
+            )
+        )
+        # hand-build the origin-aligned planes + bucket planes
+        hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
+        upp = np.pad(up, s * hp, mode="edge")
+        upp = np.pad(
+            upp,
+            ((0, s * (h2 + HALO_ROWS) - upp.shape[0]), (0, s * (w2 + 128) - upp.shape[1])),
+        )
+        planes = upp.reshape(h2 + HALO_ROWS, s, w2 + 128, s).transpose(1, 3, 0, 2)
+        planes = planes.reshape(s * s, h2 + HALO_ROWS, w2 + 128)
+        bpl = bucket.reshape(h2, s, w2, s).transpose(1, 3, 0, 2).reshape(s * s, h2, w2)
+        phases = np.asarray(
+            apply_filters_planes(
+                jnp.asarray(planes), jnp.asarray(bpl), jnp.asarray(filters), cfg,
+                interpret=True,
+            )
+        )
+        inter = phases.reshape(s, s, h2, w2).transpose(2, 0, 3, 1).reshape(h, w)
+        np.testing.assert_array_equal(inter, via_wrapper)
 
     def test_wide_image_small_row_chunk(self, rng):
         # w2 = 2048 drops the adaptive row chunk to 4 so the response

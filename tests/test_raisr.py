@@ -131,6 +131,91 @@ class TestFullPipeline:
         assert adiff.mean() < 2 and adiff.max() <= 32
 
 
+class TestPlanePipeline:
+    """The plane-native TPU fast path (ops.raisr._raisr_2d_planes):
+    upscale/hash/apply all in parity-phase space, run here in interpret
+    mode against the interleaved implementations."""
+
+    def _geom(self, img, cfg):
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            HALO_ROWS,
+            TILE_H,
+            plane_halo,
+        )
+
+        h, w = img.shape
+        h2p = -(-h // TILE_H) * TILE_H
+        w2p = -(-w // 128) * 128
+        hp = plane_halo(cfg.filter_len, cfg.scale, cfg.gauss_len)
+        return h2p, w2p, h2p + HALO_ROWS, w2p + 128, hp
+
+    def test_upscale_planes_bitexact(self, lenna_gray_mod, tiny_cfg):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.interpolation import _resize_plane
+
+        cfg, s = tiny_cfg, tiny_cfg.scale
+        img = lenna_gray_mod[:96, :100]
+        h, w = img.shape
+        h2p, w2p, hq, wq, hp = self._geom(img, cfg)
+        x01 = jnp.asarray(img, jnp.float32) / 255.0
+        planes = np.asarray(ops.upscale_planes(x01, cfg, h2p, w2p, hq, wq, hp))
+        up = np.asarray(_resize_plane(x01[..., None], (h * s, w * s), "bilinear"))[..., 0]
+        ii, jj = np.meshgrid(np.arange(hq) - hp, np.arange(wq) - hp, indexing="ij")
+        for a in range(s):
+            for b in range(s):
+                want = up[
+                    np.clip(s * ii + a, 0, h * s - 1), np.clip(s * jj + b, 0, w * s - 1)
+                ]
+                np.testing.assert_array_equal(planes[a * s + b], want)
+
+    def test_hash_planes_matches_interleaved(self, lenna_gray_mod, tiny_cfg):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.interpolation import _resize_plane
+
+        cfg, s = tiny_cfg, tiny_cfg.scale
+        img = lenna_gray_mod[:96, :100]
+        h, w = img.shape
+        h2p, w2p, hq, wq, hp = self._geom(img, cfg)
+        x01 = jnp.asarray(img, jnp.float32) / 255.0
+        planes = ops.upscale_planes(x01, cfg, h2p, w2p, hq, wq, hp)
+        bucket_pl = np.asarray(ops.hash_planes(planes, cfg, hp, h2p, w2p))
+        up = _resize_plane(x01[..., None], (h * s, w * s), "bilinear")[..., 0]
+        bucket_full = np.asarray(ops.hash_image(up, cfg))
+        for a in range(s):
+            for b in range(s):
+                bf = bucket_full[a::s, b::s]
+                bp = bucket_pl[a * s + b][: bf.shape[0], : bf.shape[1]]
+                # same taps in the same accumulation order; XLA may still
+                # reassociate, so allow a vanishing quantizer-edge residue
+                assert (bp == bf).mean() > 0.9999
+
+    @pytest.mark.parametrize("nchan", [1, 3, 4])
+    def test_full_plane_pipeline_matches_interleaved(
+        self, lenna_gray_mod, trained, tiny_cfg, nchan
+    ):
+        from oclcomputervision_tpu.utils import psnr
+
+        img = lenna_gray_mod[:96, :100]
+        if nchan == 1:
+            src = img
+        else:
+            chans = [img, np.roll(img, 7, 0), np.roll(img, 3, 1)]
+            if nchan == 4:
+                chans.append(np.full_like(img, 180))
+            src = np.stack(chans, -1)
+        got = np.asarray(
+            ops._raisr_2d_planes(src, trained, tiny_cfg, nchan, interpret=True)
+        )
+        want = np.asarray(ops._raisr_2d(src, trained, tiny_cfg, nchan == 1))
+        assert got.shape == want.shape and got.dtype == np.uint8
+        # plane path: bf16 kernel vs fp32 XLA apply -> small quantization
+        # flips only
+        assert psnr(got, want) > 40, psnr(got, want)
+        assert (np.abs(got.astype(int) - want.astype(int)) > 2).mean() < 0.01
+
+
 class TestTraining:
     def test_self_upscale_beats_bilinear(self, lenna_gray_mod, trained, tiny_cfg):
         # degrade lenna, restore with filters trained on it: RAISR must
@@ -156,6 +241,64 @@ class TestTraining:
         m2 = RaisrModel.load(p)
         np.testing.assert_allclose(np.asarray(m2.filters), np.asarray(trained))
         assert m2.cfg.num_filters == tiny_cfg.num_filters
+
+
+class TestAugmentation:
+    def test_dihedral_transforms_are_the_8_symmetries(self):
+        from oclcomputervision_tpu.models.raisr import dihedral_transforms
+
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        ts = dihedral_transforms(img)
+        assert len(ts) == 8
+        # all distinct, and the group contains each image exactly once
+        flat = {t.tobytes() + bytes(t.shape[0]) for t in ts}
+        assert len(flat) == 8
+        # closure spot-checks
+        assert np.array_equal(ts[0], img)
+        assert np.array_equal(ts[2], np.rot90(img))
+        assert np.array_equal(ts[1], np.fliplr(img))
+
+    def test_augmented_training_fills_angle_buckets(self, lenna_gray_mod):
+        # a strongly oriented corpus leaves opposite-angle buckets
+        # starved; 8x augmentation must even them out
+        from oclcomputervision_tpu.models.raisr import (
+            _training_arrays,
+            accumulate_normal_eq,
+            dihedral_transforms,
+        )
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig()
+        # synthetic OBLIQUE stripes (~21 deg): axis-aligned gradients are
+        # degenerate for the hash (gx == 0 exactly -> atan2(0,0) = 0),
+        # so an oblique angle is needed for rotations to land in
+        # distinct quarters
+        yy, xx = np.mgrid[0:64, 0:64]
+        img = (127 + 120 * np.sin(0.5 * xx + 0.2 * yy)).astype(np.float64) / 255.0
+
+        def counts(variants):
+            cnt = np.zeros(cfg.num_filters, np.float32)
+            for v in variants:
+                _, _, f = _training_arrays(np.asarray(v.copy(), np.float32), cfg)
+                _, _, c = accumulate_normal_eq(
+                    np.zeros((f.size, 121), np.float32),
+                    np.zeros(f.size, np.float32),
+                    f,
+                    cfg.num_filters,
+                    chunk=512,
+                )
+                cnt += np.asarray(c)
+            return cnt.reshape(cfg.num_angle, -1).sum(axis=1)
+
+        plain = counts([img])
+        aug = counts(dihedral_transforms(img))
+        # vertical stripes: horizontal-gradient buckets dominate, the
+        # 90-degree-rotated buckets are near-empty until augmentation
+        na = cfg.num_angle
+        quarter = plain.reshape(4, na // 4).sum(axis=1)
+        assert quarter.max() > 10 * (quarter.min() + 1)
+        quarter_aug = aug.reshape(4, na // 4).sum(axis=1)
+        assert quarter_aug.max() < 3 * quarter_aug.min()
 
 
 class TestScale3:
