@@ -18,11 +18,15 @@ utilization):
     out = clip((1-s)(1-t) v00 + s(1-t) v01 + (1-s)t v10 + st v11)
 
 The LUTs are float (fractional transfer values), so each is split into
-an integer part (exactly representable in bf16) and a fractional part
-(<= 2^-9 absolute error): the blended result differs from the fp32 XLA
-twin by < 0.005, flipping the truncating uint8 cast only for values
-essentially ON an integer boundary (test tolerance +-1, same as the
-XLA-vs-oracle contract).
+an integer part and a fractional part quantized to 1/254 steps, both
+shifted into int8 range: the MXU runs the 8 blockdiag contractions as
+int8 x int8 -> int32 (2x the bf16 rate on v5e), exact for the integer
+part (the -128/-127 shifts are undone by constant offsets - every
+pixel's one-hot block sums to exactly 1) and <= 1/508 absolute error
+for the fraction. The blended result differs from the fp32 XLA twin by
+< 0.005, flipping the truncating uint8 cast only for values essentially
+ON an integer boundary (test tolerance +-1, same as the XLA-vs-oracle
+contract).
 
 The bilinear ramps (hist.cl:129-136 semantics, as realized by the XLA
 twin's half-block tiling) are rebuilt in-kernel from iota - no ramp
@@ -55,6 +59,7 @@ def _make_kernel(bh: int, bw: int, ntx2: int):
         k = pl.program_id(2)  # chunk within the tile
         hi1, lo1 = _onehot_stack(x_ref[0, 0, 0])
         hi1f = hi1.astype(jnp.float32)
+        lo1_i8 = lo1.astype(jnp.int8)
 
         # pixel position within the (bh, bw) BLEND CELL: this half-block
         # tile is quadrant (i%2, j%2) of cell (i//2, j//2); in-tile
@@ -69,22 +74,28 @@ def _make_kernel(bh: int, bw: int, ntx2: int):
         blkmask = (
             jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // 16
             == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // 16
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.float32)
 
         vals = []
         for c in range(4):
-            inner = None
-            for part in range(2):
-                l16 = l16_ref[0, 0, 0, c, part].astype(jnp.bfloat16)  # [16, 16]
+            acc = None
+            for part, scale in ((0, 1.0), (1, 1.0 / 254.0)):
+                # int8-shifted LUT part (prepared by the wrapper), block-
+                # diagonalized in f32 then cast (values fit int8 exactly)
+                l16 = l16_ref[0, 0, 0, c, part]  # [16, 16] f32, int8 range
                 lt = pltpu.repeat(pltpu.repeat(l16, 8, axis=0), 8, axis=1)
-                lbd = lt * blkmask  # [128, 128] block-diagonal
+                lbd = (lt * blkmask).astype(jnp.int8)
                 d = jax.lax.dot_general(
                     lbd,
-                    lo1,
+                    lo1_i8,
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.int32,
                 )
-                inner = d if inner is None else inner + d
+                term = d.astype(jnp.float32) * scale
+                acc = term if acc is None else acc + term
+            # undo the int8 shifts: L = q0 + 128 + (q1 + 127)/254, and
+            # each pixel's one-hot block sums to exactly 1
+            inner = acc + (128.0 + 0.5)
             z = hi1f * inner  # [128, P]
             vals.append(jnp.sum(z.reshape(TILE_ROWS, 16, TILE_LANES), axis=1))
         v00, v01, v10, v11 = vals
@@ -194,10 +205,12 @@ def apply_block_mappings_pallas(
         ],
         axis=3,
     )  # [B, nty, ntx, 4, 256]
+    # int8-shifted parts: L = (q0 + 128) + (q1 + 127)/254 with
+    # q0 = floor(L) - 128 in [-128, 127], q1 = round(frac*254) - 127
     cint = jnp.floor(corners)
-    l16 = jnp.stack([cint, corners - cint], axis=4).reshape(
-        bsz, nty, ntx, 4, 2, 16, 16
-    )
+    q0 = cint - 128.0
+    q1 = jnp.round((corners - cint) * 254.0) - 127.0
+    l16 = jnp.stack([q0, q1], axis=4).reshape(bsz, nty, ntx, 4, 2, 16, 16)
 
     out_t = _blend_tiles(xt, l16, bh, bw, ntx2, interpret)
     out = (

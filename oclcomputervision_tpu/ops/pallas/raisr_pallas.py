@@ -338,15 +338,18 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def hash_planes_pallas(planes, cfg, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "h2p"))
+def hash_planes_pallas(planes, cfg, interpret: bool = False, h2p: int | None = None):
     """Bucket planes [B, s*s, h2p, w2p] int32 from upscale planes
-    [B, s*s, h2p + HALO_ROWS, w2p + 128] f32 (origin-aligned)."""
+    [B, s*s, >= h2p + HALO_ROWS, w2p + 128] f32 (origin-aligned; rows
+    past h2p + HALO_ROWS - e.g. the Pallas upscale kernel's zero tail -
+    are never read)."""
     nb = planes.shape[0]
     s = cfg.scale
     g = cfg.gauss_len // 2
     bh = -(-g // s)
-    h2p = planes.shape[2] - HALO_ROWS
+    if h2p is None:
+        h2p = planes.shape[2] - HALO_ROWS
     w2p = planes.shape[3] - 128
     wq = planes.shape[3]
     kernel = _make_hash_kernel(cfg, w2p, wq)

@@ -446,7 +446,6 @@ def hash_planes(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nchan", "interpret"))
-@functools.partial(jax.jit, static_argnames=("cfg", "nchan", "interpret"))
 def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
                           interpret=False):
     """Fully plane-native batched RAISR: uint8 [B, H, W(, C)] in,
@@ -477,14 +476,24 @@ def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
     )
     hq, wq = h2p + HALO_ROWS, w2p + 128
 
+    from oclcomputervision_tpu.ops.pallas.upscale_pallas import (
+        upscale_planes_pallas,
+    )
+
     x01 = imgs_u8.astype(jnp.float32) / 255.0
+    # VMEM-resident upscale kernel (<= 1 ULP vs the XLA upscale_planes
+    # twin, which spends ~1.9 ms/img on materialized stencil slices);
+    # color channels stack into the kernel's batch grid - one launch
     if nchan == 1:
-        chan_planes = [upscale_planes(x01, cfg, h2p, w2p, hq, wq, hp)]
+        chan_planes = [upscale_planes_pallas(x01, cfg, hq, wq, hp, interpret)]
     else:
+        stacked = jnp.concatenate(
+            [x01[..., c] for c in range(nchan)], axis=0
+        )  # [nchan*B, h, w]
+        up_all = upscale_planes_pallas(stacked, cfg, hq, wq, hp, interpret)
         chan_planes = [
-            upscale_planes(x01[..., c], cfg, h2p, w2p, hq, wq, hp)
-            for c in range(nchan)
-        ]  # each [B, s*s, hq, wq]
+            up_all[c * bsz : (c + 1) * bsz] for c in range(nchan)
+        ]  # each [B, s*s, hq_pad, wq]
 
     # CSC is linear and pointwise -> apply it in plane space
     if nchan == 1:
@@ -504,7 +513,7 @@ def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
         # VMEM-resident hash kernel: the XLA hash_planes twin spends
         # ~4 ms/img round-tripping fp32 gradient/blur intermediates
         # through HBM
-        bucket_pl = hash_planes_pallas(yuv_planes[0], cfg, interpret)
+        bucket_pl = hash_planes_pallas(yuv_planes[0], cfg, interpret, h2p=h2p)
     else:
         # s >= 3 unrolls s^2 phase stencils in-kernel and blows the
         # Mosaic VMEM stack; the XLA twin handles the general case

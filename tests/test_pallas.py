@@ -239,3 +239,38 @@ class TestRaisrApplyKernel:
         fidx = bucket * 4 + onp.pixel_type_map(h, w, 2)
         want = onp.apply_filters(up.astype(np.float64), fidx, filters, cfg)
         assert np.abs(got - want).max() < 0.01
+
+
+class TestUpscalePlanesKernel:
+    def test_matches_xla_twin_1ulp(self, rng):
+        # the VMEM-resident upscale emits the same 2-tap f32 stencil
+        # expressions as ops.raisr.upscale_planes; backends may contract
+        # mul+add to FMA, so the bound is 1 f32 ULP, not bit-equality
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            HALO_ROWS,
+            TILE_H,
+            plane_halo,
+        )
+        from oclcomputervision_tpu.ops.pallas.upscale_pallas import (
+            upscale_planes_pallas,
+        )
+        from oclcomputervision_tpu.ops.raisr import upscale_planes
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        for s, h, w in [(2, 100, 130), (3, 64, 80), (4, 50, 70)]:
+            cfg = RaisrConfig(scale=s)
+            hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
+            h2p = -(-h // TILE_H) * TILE_H
+            w2p = -(-w // 128) * 128
+            hq, wq = h2p + HALO_ROWS, w2p + 128
+            x = jnp.asarray(rng.random((2, h, w), np.float32))
+            ref = np.asarray(upscale_planes(x, cfg, h2p, w2p, hq, wq, hp))
+            got = np.asarray(
+                upscale_planes_pallas(x, cfg, hq, wq, hp, interpret=True)
+            )
+            assert got.shape[2] % {2: 64, 3: 32}.get(s, 16) == 0
+            assert np.abs(got[:, :, :hq] - ref).max() <= 1.2e-7
+            # zero tail rows (consumers never read them)
+            assert not np.any(got[:, :, hq:])
