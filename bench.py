@@ -21,8 +21,10 @@ Timing discipline for the tunneled TPU in this environment:
 - block_until_ready is NOT trustworthy through the tunnel; each call
   folds into a carried scalar and the final host readback of that
   scalar forces completion of the whole chain;
-- per-call host dispatch is ~2.6 ms, so each call carries a large
-  batch to amortize it.
+- per-call host dispatch through the tunnel is ~13 ms and is NOT
+  amortized by chaining separate dispatches; each timed call is
+  therefore ONE jitted lax.scan over a stack of batches, so a single
+  dispatch covers the whole measured workload.
 """
 
 import json
@@ -30,21 +32,23 @@ import sys
 import time
 
 
-def _measure(fn, bufs, n_bufs, rounds, jnp):
-    """Median per-call seconds of fn over fresh device buffers."""
-    acc = jnp.int32(0)
-    for b in bufs[:n_bufs]:  # compile + warmup
-        acc = fn(b, acc)
-    _ = int(acc)
+def _measure(fn, bufs, n_scan, rounds, jax, jnp):
+    """Median per-batch seconds: each timed call is one dispatch of a
+    jitted scan over ``n_scan`` stacked batches (``bufs`` entries are
+    [n_scan, ...] stacks of never-seen-before content)."""
+
+    def chain(xs, acc):
+        return jax.lax.scan(lambda a, x: (fn(x, a), None), acc, xs)[0]
+
+    chain = jax.jit(chain)
+    _ = int(chain(bufs[0], jnp.int32(0)))  # compile + warmup
     times = []
     for r in range(rounds):
-        chunk = bufs[(r + 1) * n_bufs : (r + 2) * n_bufs]
-        acc = jnp.int32(0)
         t0 = time.perf_counter()
-        for b in chunk:
-            acc = fn(b, acc)
-        _ = int(acc)  # forced host readback of the dependency chain
-        times.append((time.perf_counter() - t0) / n_bufs)
+        # forced host readback of the scan-carried scalar: completion
+        # of the whole chain, one tunnel dispatch
+        _ = int(chain(bufs[r + 1], jnp.int32(0)))
+        times.append((time.perf_counter() - t0) / n_scan)
     times.sort()
     return times[len(times) // 2]
 
@@ -66,21 +70,21 @@ def _emit(metric, mps):
 def bench_histeq(jax, jnp):
     from oclcomputervision_tpu.ops.pallas.histeq_pallas import histeq_global_pallas
 
-    # Batched serving geometry: 256 resident 768x1280 frames per call
-    # (252MB uint8) to amortize the ~2.6 ms/call tunnel dispatch.
+    # Batched serving geometry: 256 resident 768x1280 frames per batch,
+    # 4 batches per scan dispatch (1 GB uint8 resident).
     batch, h, w = 256, 768, 1280
-    n_bufs, rounds = 4, 3
-    keys = jax.random.split(jax.random.PRNGKey(0), n_bufs * (rounds + 1))
+    n_scan, rounds = 4, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), rounds + 1)
     gen = jax.jit(
-        lambda k: jax.random.randint(k, (batch, h, w), 0, 256, jnp.int32).astype(
-            jnp.uint8
-        )
+        lambda k: jax.random.randint(
+            k, (n_scan, batch, h, w), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
     )
     bufs = [gen(k) for k in keys]
     jax.block_until_ready(bufs)
 
-    fn = jax.jit(lambda x, acc: acc + jnp.sum(histeq_global_pallas(x), dtype=jnp.int32))
-    median_s = _measure(fn, bufs, n_bufs, rounds, jnp)
+    fn = lambda x, acc: acc + jnp.sum(histeq_global_pallas(x), dtype=jnp.int32)
+    median_s = _measure(fn, bufs, n_scan, rounds, jax, jnp)
     print("histeq warmup+measure done", file=sys.stderr, flush=True)
     _emit("fused_histeq_global_throughput", batch * h * w / 1e6 / median_s)
 
@@ -97,29 +101,31 @@ def bench_raisr(jax, jnp):
     cfg = model.cfg
 
     # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 16
-    # per call; natural-image content so the hash buckets are realistic.
+    # per scan step, 4 steps per dispatch; natural-image content so the
+    # hash buckets are realistic.
     batch, h, w = 16, 1024, 1024
-    n_bufs, rounds = 2, 3
+    n_scan, rounds = 4, 3
     from oclcomputervision_tpu.utils import load_gray
 
     base = load_gray("lenna.png")
     tile = np.tile(base, (-(-h // base.shape[0]), -(-w // base.shape[1])))[:h, :w]
     rng = np.random.default_rng(0)
     bufs = []
-    for i in range(n_bufs * (rounds + 1)):
-        # unique content per buffer: random roll + additive noise
-        sh = rng.integers(0, 512, 2)
-        noisy = tile.astype(np.int16) + rng.integers(-8, 9, tile.shape)
-        img = np.clip(np.roll(noisy, sh, (0, 1)), 0, 255).astype(np.uint8)
-        bufs.append(jnp.asarray(np.stack([img] * batch)))
+    for i in range(rounds + 1):
+        stack = []
+        for j in range(n_scan):
+            # unique content per batch: random roll + additive noise
+            sh = rng.integers(0, 512, 2)
+            noisy = tile.astype(np.int16) + rng.integers(-8, 9, tile.shape)
+            img = np.clip(np.roll(noisy, sh, (0, 1)), 0, 255).astype(np.uint8)
+            stack.append(np.stack([img] * batch))
+        bufs.append(jnp.asarray(np.stack(stack)))
     jax.block_until_ready(bufs)
 
     # the sum runs over the FULL output (a strided subsample would let
     # XLA dead-code-eliminate part of the re-interleave glue)
-    fn = jax.jit(
-        lambda x, acc: acc + jnp.sum(raisr_upsample(x, filters, cfg), dtype=jnp.int32)
-    )
-    median_s = _measure(fn, bufs, n_bufs, rounds, jnp)
+    fn = lambda x, acc: acc + jnp.sum(raisr_upsample(x, filters, cfg), dtype=jnp.int32)
+    median_s = _measure(fn, bufs, n_scan, rounds, jax, jnp)
     print("raisr warmup+measure done", file=sys.stderr, flush=True)
     _emit("raisr_x2_throughput", batch * h * w * cfg.scale**2 / 1e6 / median_s)
 
