@@ -276,9 +276,19 @@ def histeq_local_block(
     """
     gray = jnp.asarray(gray)
     bs = tuple(blockshape)
-    if jax.default_backend() == "tpu" and (bs[0] // 2 * (bs[1] // 2)) % 16384 == 0:
-        # fused Pallas blend (one-hot stacks at full lane utilization);
-        # geometry outside the kernel contract falls through to XLA
+    bh2, bw2 = bs[0] // 2, bs[1] // 2
+    h, w = gray.shape[-2:]
+    if (
+        jax.default_backend() == "tpu"
+        and (bh2 * bw2) % 16384 == 0
+        and 2048 % bw2 == 0
+        and bh2 % (8 * (2048 // bw2)) == 0
+        and h % bs[0] == 0
+        and w % bs[1] == 0
+    ):
+        # fused Pallas path (direct image-block kernels, one-hot stacks
+        # at full lane utilization); geometry outside the kernel
+        # contract falls through to XLA
         return _histeq_local_pallas(gray, alpha, punch, clip, bs, clahe_clip)
     if gray.ndim == 3:
         return jax.vmap(
@@ -292,13 +302,12 @@ def histeq_local_block(
 )
 def _histeq_local_pallas(gray, alpha, punch, clip, blockshape, clahe_clip=0.0):
     from oclcomputervision_tpu.ops.pallas.localeq_pallas import (
-        apply_block_mappings_pallas,
+        histeq_local_fused_pallas,
     )
 
     squeeze = gray.ndim == 2
     g3 = gray[None] if squeeze else gray
-    maps = jax.vmap(
-        lambda g: block_mappings(g, alpha, punch, clip, blockshape, clahe_clip)
-    )(g3)
-    out = apply_block_mappings_pallas(g3, maps, blockshape)
+    out = histeq_local_fused_pallas(
+        g3, alpha, punch, clip, blockshape, clahe_clip
+    )
     return out[0] if squeeze else out

@@ -31,6 +31,16 @@ contract).
 The bilinear ramps (hist.cl:129-136 semantics, as realized by the XLA
 twin's half-block tiling) are rebuilt in-kernel from iota - no ramp
 tables round-trip HBM.
+
+Layout: the fused path reads (bh/2, bw/2) image blocks STRAIGHT from
+the [B, H, W] array via BlockSpec index maps (the DMA engine does the
+strided access) and re-lays each block out as [8, 2048] chunks with 16
+in-VMEM strip copies. XLA-side pad/transpose/untile glue on uint8
+images measured ~9 ms per 63 MP EACH on v5e - more than the blend
+kernel itself - and the half-block pad made 28% of the tiles pure
+padding; the direct-block form has neither cost. The padded-layout
+kernel is kept for ``apply_block_mappings_pallas`` (the mappings-given
+twin, which must accept images the blocks don't divide).
 """
 
 from __future__ import annotations
@@ -50,6 +60,54 @@ from oclcomputervision_tpu.ops.pallas.histeq_pallas import (
 )
 
 
+def _blend_chunk(xs, l16, t, sc):
+    """Blend one [8, 2048] pixel chunk: ``xs`` uint8/int32 pixels,
+    ``l16`` [4, 2, 16, 16] f32 int8-shifted corner tables, ``t``/``sc``
+    [8, 2048] f32 bilinear ramps -> [8, 2048] uint8."""
+    hi1, lo1 = _onehot_stack(xs)
+    hi1f = hi1.astype(jnp.float32)
+    lo1_i8 = lo1.astype(jnp.int8)
+
+    blkmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // 16
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // 16
+    ).astype(jnp.float32)
+
+    vals = []
+    for c in range(4):
+        acc = None
+        for part, scale in ((0, 1.0), (1, 1.0 / 254.0)):
+            # int8-shifted LUT part (prepared by the wrapper), block-
+            # diagonalized in f32 then cast (values fit int8 exactly)
+            lt = pltpu.repeat(pltpu.repeat(l16[c, part], 8, axis=0), 8, axis=1)
+            lbd = (lt * blkmask).astype(jnp.int8)
+            d = jax.lax.dot_general(
+                lbd,
+                lo1_i8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            term = d.astype(jnp.float32) * scale
+            acc = term if acc is None else acc + term
+        # undo the int8 shifts: L = q0 + 128 + (q1 + 127)/254, and
+        # each pixel's one-hot block sums to exactly 1
+        inner = acc + (128.0 + 0.5)
+        z = hi1f * inner  # [128, P]
+        vals.append(jnp.sum(z.reshape(TILE_ROWS, 16, TILE_LANES), axis=1))
+    v00, v01, v10, v11 = vals
+
+    out = (
+        (1.0 - sc) * (1.0 - t) * v00
+        + sc * (1.0 - t) * v01
+        + (1.0 - sc) * t * v10
+        + sc * t * v11
+    )
+    out = jnp.clip(out, 0.0, 255.0)
+    # Mosaic has no f32->u8 cast; int32 first (truncation, matching
+    # the XLA twin's astype)
+    return out.astype(jnp.int32).astype(jnp.uint8)
+
+
 def _make_kernel(bh: int, bw: int, ntx2: int):
     bh2, bw2 = bh // 2, bw // 2
     n_chunks = bh2 * bw2 // TILE_P
@@ -57,9 +115,6 @@ def _make_kernel(bh: int, bw: int, ntx2: int):
     def kernel(x_ref, l16_ref, out_ref):
         tfl = pl.program_id(1)  # flattened half-block tile
         k = pl.program_id(2)  # chunk within the tile
-        hi1, lo1 = _onehot_stack(x_ref[0, 0, 0])
-        hi1f = hi1.astype(jnp.float32)
-        lo1_i8 = lo1.astype(jnp.int8)
 
         # pixel position within the (bh, bw) BLEND CELL: this half-block
         # tile is quadrant (i%2, j%2) of cell (i//2, j//2); in-tile
@@ -71,47 +126,155 @@ def _make_kernel(bh: int, bw: int, ntx2: int):
         t = ((i % 2) * bh2 + q // bw2).astype(jnp.float32) / float(bh)
         sc = ((j % 2) * bw2 + q % bw2).astype(jnp.float32) / float(bw)
 
-        blkmask = (
-            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // 16
-            == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // 16
-        ).astype(jnp.float32)
-
-        vals = []
-        for c in range(4):
-            acc = None
-            for part, scale in ((0, 1.0), (1, 1.0 / 254.0)):
-                # int8-shifted LUT part (prepared by the wrapper), block-
-                # diagonalized in f32 then cast (values fit int8 exactly)
-                l16 = l16_ref[0, 0, 0, c, part]  # [16, 16] f32, int8 range
-                lt = pltpu.repeat(pltpu.repeat(l16, 8, axis=0), 8, axis=1)
-                lbd = (lt * blkmask).astype(jnp.int8)
-                d = jax.lax.dot_general(
-                    lbd,
-                    lo1_i8,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                term = d.astype(jnp.float32) * scale
-                acc = term if acc is None else acc + term
-            # undo the int8 shifts: L = q0 + 128 + (q1 + 127)/254, and
-            # each pixel's one-hot block sums to exactly 1
-            inner = acc + (128.0 + 0.5)
-            z = hi1f * inner  # [128, P]
-            vals.append(jnp.sum(z.reshape(TILE_ROWS, 16, TILE_LANES), axis=1))
-        v00, v01, v10, v11 = vals
-
-        out = (
-            (1.0 - sc) * (1.0 - t) * v00
-            + sc * (1.0 - t) * v01
-            + (1.0 - sc) * t * v10
-            + sc * t * v11
-        )
-        out = jnp.clip(out, 0.0, 255.0)
-        # Mosaic has no f32->u8 cast; int32 first (truncation, matching
-        # the XLA twin's astype)
-        out_ref[0, 0, 0] = out.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, 0, 0] = _blend_chunk(x_ref[0, 0, 0], l16_ref[0, 0, 0], t, sc)
 
     return kernel, n_chunks
+
+
+def _strip_geometry(bh2: int, bw2: int):
+    """Chunking of a (bh2, bw2) image block into [8, 2048] strips:
+    chunk k, strip j holds block rows [k*rpc + 8j, k*rpc + 8j + 8) at
+    lanes [j*bw2, (j+1)*bw2)."""
+    assert TILE_LANES % bw2 == 0, (bw2,)
+    spc = TILE_LANES // bw2  # strips (of 8 block rows) per chunk
+    rpc = TILE_ROWS * spc  # block rows per chunk
+    assert bh2 % rpc == 0, (bh2, bw2)
+    return spc, rpc, bh2 // rpc
+
+
+def _make_block_kernel(bh: int, bw: int, nti: int, ntj: int):
+    """Direct-block blend kernel: grid (B, nti*ntj, n_chunks), x/out
+    blocks are (rpc, bw2) slices of the raw image."""
+    bh2, bw2 = bh // 2, bw // 2
+    spc, rpc, n_chunks = _strip_geometry(bh2, bw2)
+
+    def kernel(x_ref, l16_ref, out_ref, xs_ref):
+        tfl = pl.program_id(1)  # flattened image tile (no pad ring)
+        k = pl.program_id(2)
+        ti, tj = tfl // ntj, tfl % ntj
+
+        # strip relayout: [rpc, bw2] image rows -> [8, 2048]
+        for j in range(spc):
+            xs_ref[:, j * bw2 : (j + 1) * bw2] = x_ref[
+                0, 8 * j : 8 * j + 8, :
+            ].astype(jnp.int32)
+
+        # image tile (ti, tj) is padded tile (ti+1, tj+1): quadrant
+        # ((ti+1)%2, (tj+1)%2) of cell ((ti+1)//2, (tj+1)//2)
+        u = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
+        p = k * rpc + (lane // bw2) * 8 + u  # row within the tile
+        v = lane % bw2  # col within the tile
+        t = (((ti + 1) % 2) * bh2 + p).astype(jnp.float32) / float(bh)
+        sc = (((tj + 1) % 2) * bw2 + v).astype(jnp.float32) / float(bw)
+
+        o = _blend_chunk(xs_ref[...], l16_ref[0, 0, 0], t, sc)
+        for j in range(spc):
+            out_ref[0, 8 * j : 8 * j + 8, :] = o[:, j * bw2 : (j + 1) * bw2]
+
+    return kernel, spc, rpc, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "interpret"))
+def _blend_blocks(g3, l16, bh, bw, interpret=False):
+    """g3 [B, H, W] u8 (H % bh == 0, W % bw == 0), l16 corner tables
+    [B, nty, ntx, 4, 2, 16, 16] -> [B, H, W] u8. No pad/transpose: the
+    grid walks (bh2, bw2) image blocks in place."""
+    bsz, h, w = g3.shape
+    bh2, bw2 = bh // 2, bw // 2
+    nti, ntj = h // bh2, w // bw2
+    kernel, spc, rpc, n_chunks = _make_block_kernel(bh, bw, nti, ntj)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nti * ntj, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rpc, bw2),
+                lambda b, t, k: (b, (t // ntj) * (bh2 // rpc) + k, t % ntj),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 4, 2, 16, 16),
+                lambda b, t, k: (
+                    b,
+                    (t // ntj + 1) // 2,
+                    (t % ntj + 1) // 2,
+                    0,
+                    0,
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rpc, bw2),
+            lambda b, t, k: (b, (t // ntj) * (bh2 // rpc) + k, t % ntj),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(g3.shape, jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, TILE_LANES), jnp.int32)],
+        interpret=interpret,
+    )(g3, l16)
+
+
+def _hist_tile_kernel_factory(bh2: int, bw2: int):
+    spc, rpc, n_chunks = _strip_geometry(bh2, bw2)
+
+    def kernel(x_ref, m_ref, xs_ref):
+        k = pl.program_id(2)
+        for j in range(spc):
+            xs_ref[:, j * bw2 : (j + 1) * bw2] = x_ref[
+                0, 8 * j : 8 * j + 8, :
+            ].astype(jnp.int32)
+        hi1, lo1 = _onehot_stack(xs_ref[...])
+        m = jax.lax.dot_general(
+            hi1,
+            lo1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == 0)
+        def _():
+            m_ref[0, 0] = m
+
+        @pl.when(k != 0)
+        def _():
+            m_ref[0, 0] += m
+
+    return kernel, rpc, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("bh2", "bw2", "interpret"))
+def hist_tiles_pallas(g3, bh2, bw2, interpret=False):
+    """Per-(bh2, bw2)-tile histograms straight off the image: [B, H, W]
+    u8 -> [B, H//bh2, W//bw2, 256] f32 (exact integer counts)."""
+    bsz, h, w = g3.shape
+    nti, ntj = h // bh2, w // bw2
+    kernel, rpc, n_chunks = _hist_tile_kernel_factory(bh2, bw2)
+    m = pl.pallas_call(
+        kernel,
+        grid=(bsz, nti * ntj, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rpc, bw2),
+                lambda b, t, k: (b, (t // ntj) * (bh2 // rpc) + k, t % ntj),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 128, 128),
+            lambda b, t, k: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, nti * ntj, 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, TILE_LANES), jnp.int32)],
+        interpret=interpret,
+    )(g3)
+    # sum the 16x16 blocks on m's block diagonal (histeq_pallas layout)
+    m4 = m.reshape(bsz, nti, ntj, 8, 16, 8, 16)
+    return jnp.einsum("btjrhrl->btjhl", m4).reshape(bsz, nti, ntj, 256)
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "bw", "ntx2", "interpret"))
@@ -147,6 +310,68 @@ def _blend_tiles(xt, l16, bh, bw, ntx2, interpret=False):
     )(xt, l16)
 
 
+def _prep_tiles(g3: jnp.ndarray, bh: int, bw: int, nby: int, nbx: int):
+    """Pad [B, H, W] by a half block (top/left) and lay it out as
+    half-block tiles [B, nty2*ntx2, n_chunks, 8, 2048].
+
+    HALF-block tiling: corner LUTs are constant per half-block; tiling
+    at half-block granularity trims the padded overcompute from
+    (nby+1)(nbx+1)/(nby*nbx) to (2nby+1)(2nbx+1)/(4*nby*nbx).
+    """
+    bsz, h, w = g3.shape
+    bh2, bw2 = bh // 2, bw // 2
+    nty2, ntx2 = 2 * nby + 1, 2 * nbx + 1
+    g = jnp.pad(
+        g3,
+        (
+            (0, 0),
+            (bh2, nty2 * bh2 - h - bh2),
+            (bw2, ntx2 * bw2 - w - bw2),
+        ),
+    )
+    xt = (
+        g.reshape(bsz, nty2, bh2, ntx2, bw2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(bsz, nty2 * ntx2, bh2 * bw2 // TILE_P, TILE_ROWS, TILE_LANES)
+    )
+    return xt, nty2, ntx2
+
+
+def _corner_tables(m4: jnp.ndarray) -> jnp.ndarray:
+    """[B, nby, nbx, 256] f32 LUT grid -> int8-shifted corner tables
+    [B, nty, ntx, 4, 2, 16, 16] for the blend kernel."""
+    bsz, nby, nbx = m4.shape[:3]
+    nty, ntx = nby + 1, nbx + 1
+    # edge-replicated corner LUT grid: P[k] = M[clip(k-1, 0, n-1)]
+    py = jnp.clip(jnp.arange(nty + 1) - 1, 0, nby - 1)
+    px = jnp.clip(jnp.arange(ntx + 1) - 1, 0, nbx - 1)
+    pg = m4[:, py][:, :, px]  # [B, nty+1, ntx+1, 256]
+    corners = jnp.stack(
+        [
+            pg[:, :-1, :-1],
+            pg[:, :-1, 1:],
+            pg[:, 1:, :-1],
+            pg[:, 1:, 1:],
+        ],
+        axis=3,
+    )  # [B, nty, ntx, 4, 256]
+    # int8-shifted parts: L = (q0 + 128) + (q1 + 127)/254 with
+    # q0 = floor(L) - 128 in [-128, 127], q1 = round(frac*254) - 127
+    cint = jnp.floor(corners)
+    q0 = cint - 128.0
+    q1 = jnp.round((corners - cint) * 254.0) - 127.0
+    return jnp.stack([q0, q1], axis=4).reshape(bsz, nty, ntx, 4, 2, 16, 16)
+
+
+def _untile(out_t, bsz, h, w, bh2, bw2, nty2, ntx2):
+    out = (
+        out_t.reshape(bsz, nty2, ntx2, bh2, bw2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(bsz, nty2 * bh2, ntx2 * bw2)
+    )
+    return out[:, bh2 : bh2 + h, bw2 : bw2 + w]
+
+
 def apply_block_mappings_pallas(
     gray: jnp.ndarray,
     mappings: jnp.ndarray,
@@ -171,52 +396,57 @@ def apply_block_mappings_pallas(
     bh, bw = blockshape
     bh2, bw2 = bh // 2, bw // 2
     assert (bh2 * bw2) % TILE_P == 0, (blockshape,)
-    nty, ntx = nby + 1, nbx + 1
 
-    # HALF-block tiling: corner LUTs are constant per half-block; tiling
-    # at half-block granularity trims the padded overcompute from
-    # (nby+1)(nbx+1)/(nby*nbx) to (2nby+1)(2nbx+1)/(4*nby*nbx)
-    nty2, ntx2 = 2 * nby + 1, 2 * nbx + 1
-    pad_top, pad_left = bh2, bw2
-    g = jnp.pad(
-        g3,
-        (
-            (0, 0),
-            (pad_top, nty2 * bh2 - h - pad_top),
-            (pad_left, ntx2 * bw2 - w - pad_left),
-        ),
-    )
-    xt = (
-        g.reshape(bsz, nty2, bh2, ntx2, bw2)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(bsz, nty2 * ntx2, bh2 * bw2 // TILE_P, TILE_ROWS, TILE_LANES)
-    )
-
-    # edge-replicated corner LUT grid: P[k] = M[clip(k-1, 0, n-1)]
-    py = jnp.clip(jnp.arange(nty + 1) - 1, 0, nby - 1)
-    px = jnp.clip(jnp.arange(ntx + 1) - 1, 0, nbx - 1)
-    pg = m4[:, py][:, :, px]  # [B, nty+1, ntx+1, 256]
-    corners = jnp.stack(
-        [
-            pg[:, :-1, :-1],
-            pg[:, :-1, 1:],
-            pg[:, 1:, :-1],
-            pg[:, 1:, 1:],
-        ],
-        axis=3,
-    )  # [B, nty, ntx, 4, 256]
-    # int8-shifted parts: L = (q0 + 128) + (q1 + 127)/254 with
-    # q0 = floor(L) - 128 in [-128, 127], q1 = round(frac*254) - 127
-    cint = jnp.floor(corners)
-    q0 = cint - 128.0
-    q1 = jnp.round((corners - cint) * 254.0) - 127.0
-    l16 = jnp.stack([q0, q1], axis=4).reshape(bsz, nty, ntx, 4, 2, 16, 16)
-
+    xt, nty2, ntx2 = _prep_tiles(g3, bh, bw, nby, nbx)
+    l16 = _corner_tables(m4)
     out_t = _blend_tiles(xt, l16, bh, bw, ntx2, interpret)
-    out = (
-        out_t.reshape(bsz, nty2, ntx2, bh2, bw2)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(bsz, nty2 * bh2, ntx2 * bw2)
-    )
-    out = out[:, pad_top : pad_top + h, pad_left : pad_left + w]
+    out = _untile(out_t, bsz, h, w, bh2, bw2, nty2, ntx2)
     return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "punch", "clip", "blockshape", "clahe_clip", "interpret"),
+)
+def histeq_local_fused_pallas(
+    g3: jnp.ndarray,
+    alpha: float,
+    punch: float,
+    clip: float,
+    blockshape,
+    clahe_clip: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole local-block histeq on two Pallas launches: per-quadrant
+    MXU histograms -> block LUTs -> fused bilinear blend, both kernels
+    reading/writing (bh2, bw2) image blocks in place (no pad, no
+    transpose - those measured ~9 ms per 63 MP each on v5e).
+
+    Block (by, bx)'s histogram is the sum of its 4 quadrant-tile
+    histograms from ``hist_tiles_pallas``. Tile counts are exact
+    integers in f32, so the transfer LUTs are bit-identical to the
+    ``block_mappings`` twin's.
+
+    Requires h % bh == 0, w % bw == 0, (bh/2)*(bw/2) % 16384 == 0, and
+    bw/2 dividing 2048.
+    """
+    from oclcomputervision_tpu.ops.histeq import calc_transfer_func, clip_histogram
+
+    bsz, h, w = g3.shape
+    bh, bw = blockshape
+    nby, nbx = h // bh, w // bw
+    bh2, bw2 = bh // 2, bw // 2
+    assert h % bh == 0 and w % bw == 0 and (bh2 * bw2) % TILE_P == 0, (
+        g3.shape,
+        blockshape,
+    )
+
+    th = hist_tiles_pallas(g3, bh2, bw2, interpret=interpret)
+    # block (by, bx) = image tiles {2by, 2by+1} x {2bx, 2bx+1}
+    grid = th.reshape(bsz, nby, 2, nbx, 2, 256).sum(axis=(2, 4))
+    if clahe_clip > 0:
+        grid = clip_histogram(grid, clahe_clip)
+    m4 = calc_transfer_func(grid, alpha, punch, clip)
+
+    l16 = _corner_tables(m4)
+    return _blend_blocks(g3, l16, bh, bw, interpret)

@@ -111,6 +111,36 @@ class TestLocalEqKernel:
             )
             np.testing.assert_array_equal(got[i], single)
 
+    def test_fused_matches_xla_twin(self, under_exposure_gray):
+        # the fused path derives block histograms from the half-tile
+        # Pallas histograms (4-tile sums); the transfer LUTs must be
+        # bit-identical to block_mappings', so the whole pipeline gets
+        # the blend kernel's +-1 boundary-flip tolerance
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops import histeq as H
+        from oclcomputervision_tpu.ops.pallas.localeq_pallas import (
+            histeq_local_fused_pallas,
+        )
+
+        g = under_exposure_gray[:512, :1024]
+        for clahe in (0.0, 2.0):
+            want = np.asarray(
+                H.apply_block_mappings(
+                    g,
+                    H.block_mappings(g, 0.5, 0.05, 3.0, (256, 256), clahe),
+                    (256, 256),
+                )
+            )
+            got = np.asarray(
+                histeq_local_fused_pallas(
+                    jnp.asarray(g)[None], 0.5, 0.05, 3.0, (256, 256), clahe,
+                    interpret=True,
+                )[0]
+            )
+            d = np.abs(got.astype(int) - want.astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 0.001
+
 
 class TestRaisrApplyKernel:
     def test_matches_reference_apply(self, rng):
