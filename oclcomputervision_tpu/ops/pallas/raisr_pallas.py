@@ -44,7 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64  # output rows per grid step
-HASH_TILE_H = 32  # hash kernel rows per grid step (fits its fatter scratch)
+HASH_TILE_H = 64  # hash kernel rows per grid step (~5% over 32: halo
+# overhead halves and the fatter scratch still fits VMEM; 128 overflows)
 HALO_ROWS = 8  # >= 2 * plane halo, padded to a sublane multiple
 NB_PAD = 224  # 216 buckets padded to a sublane multiple
 
