@@ -142,14 +142,23 @@ def dihedral_transforms(img: np.ndarray):
     return out
 
 
+# Held-out-tuned per-scale ridge (frame11 eval, 3-image corpus): the
+# x2 optimum is sharp (0.001 collapses to 26 dB - ill-conditioned
+# buckets; 0.03, the old default, gives up 0.4 dB of smoothing).
+RIDGE_BY_SCALE = {2: 0.006, 3: 0.01, 4: 0.015}
+
+
 def train_filters(
     hr_images: Sequence[np.ndarray],
     cfg: RaisrConfig = RaisrConfig(),
-    ridge: float = 0.03,
+    ridge: float | None = None,
     chunk: int = 1024,
     augment: bool = False,
 ) -> jnp.ndarray:
     """Train the filter bank from uint8 HR images (gray or RGB).
+
+    ``ridge=None`` selects the held-out-tuned per-scale default
+    (RIDGE_BY_SCALE, 0.03 for unlisted scales).
 
     ``augment`` accumulates every image under all 8 dihedral transforms
     (RAISR paper §IV "8x augmentation"): rotated/mirrored edges fill the
@@ -169,6 +178,8 @@ def train_filters(
 
     Returns filters [num_filters, fl, fl] float32.
     """
+    if ridge is None:
+        ridge = RIDGE_BY_SCALE.get(cfg.scale, 0.03)
     d = cfg.filter_len * cfg.filter_len
     g = jnp.zeros((cfg.num_filters, d, d), jnp.float32)
     r = jnp.zeros((cfg.num_filters, d), jnp.float32)
