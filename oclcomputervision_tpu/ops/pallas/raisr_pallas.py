@@ -44,8 +44,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64  # output rows per grid step
-HASH_TILE_H = 64  # hash kernel rows per grid step (~5% over 32: halo
-# overhead halves and the fatter scratch still fits VMEM; 128 overflows)
+
+
+def _hash_tile_h(w2p: int) -> int:
+    """Hash kernel rows per grid step: 64 gains ~5% over 32 (the halo
+    fraction halves) but its scratch only fits VMEM up to ~512-wide
+    planes; wider geometry (e.g. the 1024^2 bench shape) OOMs the
+    16 MB scoped vmem at 64, so fall back to 32."""
+    return 64 if w2p <= 512 else 32
+
+
 HALO_ROWS = 8  # >= 2 * plane halo, padded to a sublane multiple
 NB_PAD = 224  # 216 buckets padded to a sublane multiple
 
@@ -207,6 +215,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
     from oclcomputervision_tpu.ops.raisr import _blur_k1
 
     s = cfg.scale
+    th = _hash_tile_h(w2p)
     hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
     g = cfg.gauss_len // 2
     bh = -(-g // s)  # plane halo of the blur stage
@@ -227,7 +236,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
         for p in range(s * s):
             pltpu.make_async_copy(
                 planes_hbm.at[
-                    bi, p, pl.ds(i * HASH_TILE_H, HASH_TILE_H + HALO_ROWS), :
+                    bi, p, pl.ds(i * th, th + HALO_ROWS), :
                 ],
                 buf.at[p],
                 sems.at[p],
@@ -235,7 +244,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
         for p in range(s * s):
             pltpu.make_async_copy(
                 planes_hbm.at[
-                    bi, p, pl.ds(i * HASH_TILE_H, HASH_TILE_H + HALO_ROWS), :
+                    bi, p, pl.ds(i * th, th + HALO_ROWS), :
                 ],
                 buf.at[p],
                 sems.at[p],
@@ -252,7 +261,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
                 b2, co = (b + dc) % s, (b + dc) // s
                 return buf[
                     a2 * s + b2,
-                    pl.ds(hp - bh + ro, HASH_TILE_H + 2 * bh),
+                    pl.ds(hp - bh + ro, th + 2 * bh),
                     pl.ds(hp - bh + co, ext_c),
                 ]
 
@@ -283,7 +292,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
                     for u in range(cfg.gauss_len):
                         a2, ro = (a_out + u - g) % s, (a_out + u - g) // s
                         term = k1[u] * t3[
-                            t, a2 * s + b_src, pl.ds(bh + ro, HASH_TILE_H), :
+                            t, a2 * s + b_src, pl.ds(bh + ro, th), :
                         ]
                         vp = term if vp is None else vp + term
                     vbuf[t, a_out * s + b_src] = vp
@@ -356,20 +365,20 @@ def hash_planes_pallas(planes, cfg, interpret: bool = False, h2p: int | None = N
     kernel = _make_hash_kernel(cfg, w2p, wq)
     return pl.pallas_call(
         kernel,
-        grid=(nb, h2p // HASH_TILE_H),
+        grid=(nb, h2p // _hash_tile_h(w2p)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, s * s, HASH_TILE_H, w2p),
+            (1, s * s, _hash_tile_h(w2p), w2p),
             lambda b, i: (b, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb, s * s, h2p, w2p), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((s * s, HASH_TILE_H + HALO_ROWS, wq), jnp.float32),
+            pltpu.VMEM((s * s, _hash_tile_h(w2p) + HALO_ROWS, wq), jnp.float32),
             pltpu.VMEM(
-                (3, s * s, HASH_TILE_H + 2 * bh, w2p + 2 * bh), jnp.float32
+                (3, s * s, _hash_tile_h(w2p) + 2 * bh, w2p + 2 * bh), jnp.float32
             ),
-            pltpu.VMEM((3, s * s, HASH_TILE_H, w2p + 2 * bh), jnp.float32),
+            pltpu.VMEM((3, s * s, _hash_tile_h(w2p), w2p + 2 * bh), jnp.float32),
             pltpu.SemaphoreType.DMA((s * s,)),
         ],
         interpret=interpret,
