@@ -205,23 +205,49 @@ def apply_block_mappings(
     nby, nbx = mappings.shape[:2]
     bh, bw = blockshape
     h, w = gray.shape
-    nty, ntx = nby + 1, nbx + 1
+    nty = nby + 1
+    pad_top = bh // 2
+    band = jnp.pad(gray, ((pad_top, nty * bh - h - pad_top), (0, 0)))
+    out = apply_block_mappings_band(band, mappings, blockshape, 0, w)
+    return out[pad_top : pad_top + h]
 
-    pad_top, pad_left = bh // 2, bw // 2
-    g = jnp.pad(
-        gray,
-        ((pad_top, nty * bh - h - pad_top), (pad_left, ntx * bw - w - pad_left)),
-    )
-    tiles = g.reshape(nty, bh, ntx, bw)
-    hi1, lo1 = _nibble_onehots(tiles)  # [nty, bh, ntx, bw, 16]
 
-    # padded LUT grid with edge replication: P[k] = M[clip(k-1, 0, n-1)]
-    py = jnp.clip(jnp.arange(nty + 1) - 1, 0, nby - 1)
+def apply_block_mappings_band(
+    band: jnp.ndarray,
+    mappings: jnp.ndarray,
+    blockshape: Tuple[int, int],
+    ty0: int,
+    w: int,
+) -> jnp.ndarray:
+    """Blend a blend-tile-aligned row band against the global LUT grid.
+
+    ``band`` [nty_loc*bh, w] holds PADDED rows [ty0*bh, (ty0+nty_loc)*bh)
+    of the half-block-shifted image (padded row = image row + bh//2,
+    out-of-image rows zero); ``mappings`` is the full [nby, nbx, 256]
+    grid. Returns the blended uint8 band (same rows). ty0 > 0 is the
+    row-sharded entry point (parallel.histeq_local_sharded); the
+    single-device path passes the whole padded image with ty0 = 0.
+    """
+    nby, nbx = mappings.shape[:2]
+    bh, bw = blockshape
+    ntx = nbx + 1
+    nty_loc = band.shape[0] // bh
+
+    pad_left = bw // 2
+    g = jnp.pad(band, ((0, 0), (pad_left, ntx * bw - w - pad_left)))
+    tiles = g.reshape(nty_loc, bh, ntx, bw)
+    hi1, lo1 = _nibble_onehots(tiles)  # [nty_loc, bh, ntx, bw, 16]
+
+    # padded LUT grid with edge replication: P[k] = M[clip(k-1, 0, n-1)],
+    # rows rebased to this band's global tile range
+    py = jnp.clip(ty0 + jnp.arange(nty_loc + 1) - 1, 0, nby - 1)
     px = jnp.clip(jnp.arange(ntx + 1) - 1, 0, nbx - 1)
-    p_grid = mappings[py][:, px].reshape(nty + 1, ntx + 1, 16, 16).astype(jnp.float32)
+    p_grid = (
+        mappings[py][:, px].reshape(nty_loc + 1, ntx + 1, 16, 16).astype(jnp.float32)
+    )
 
     def corner_val(l_tbl):
-        # l_tbl: [nty, ntx, 16, 16]; value = one-hot contraction (exact)
+        # l_tbl: [nty_loc, ntx, 16, 16]; value = one-hot contraction (exact)
         inner = jnp.einsum(
             "yixjl,yxhl->yixjh", lo1, l_tbl, preferred_element_type=jnp.float32
         )
@@ -245,7 +271,7 @@ def apply_block_mappings(
         + (1 - s) * t * v10
         + s * t * v11
     )
-    out = out.reshape(nty * bh, ntx * bw)[pad_top : pad_top + h, pad_left : pad_left + w]
+    out = out.reshape(nty_loc * bh, ntx * bw)[:, pad_left : pad_left + w]
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 

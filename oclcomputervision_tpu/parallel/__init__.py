@@ -2,6 +2,7 @@ from oclcomputervision_tpu.parallel.mesh import (
     make_mesh,
     data_parallel,
     histeq_global_sharded,
+    histeq_local_sharded,
     raisr_train_step,
     raisr_upsample_sharded,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "make_mesh",
     "data_parallel",
     "histeq_global_sharded",
+    "histeq_local_sharded",
     "raisr_train_step",
     "raisr_upsample_sharded",
 ]

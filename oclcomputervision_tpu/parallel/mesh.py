@@ -93,6 +93,75 @@ def histeq_global_sharded(
     return sharded(gray)
 
 
+def histeq_local_sharded(
+    gray: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    alpha: float = 0.5,
+    punch: float = 0.05,
+    clip: float = 3.0,
+    blockshape: Tuple[int, int] = (256, 256),
+    clahe_clip: float = 0.0,
+) -> jnp.ndarray:
+    """Row-sharded local-block (CLAHE-style) histeq.
+
+    LUTs are bit-identical to the single-device op's; the blend's
+    einsums contract at local tile shapes, so FMA regrouping can flip
+    outputs exactly ON a uint8 truncation boundary (+-1 on a
+    measure-zero pixel set - the same bound as the Pallas blend twin).
+
+    Each device histograms and solves LUTs for its own block rows
+    (local), all_gathers the tiny LUT grid (nby x nbx x 256 - the only
+    ICI traffic besides halos), exchanges a half-block pixel halo with
+    its neighbors via ppermute (zero-filled at the global edges,
+    matching the single-device zero pad), and blends its rows against
+    the global grid with the shared band kernel
+    (ops.histeq.apply_block_mappings_band).
+
+    Requires the row count to split into whole block rows per device:
+    h % (ndev * blockshape[0]) == 0.
+    """
+    from oclcomputervision_tpu.ops.histeq import (
+        apply_block_mappings_band,
+        calc_transfer_func,
+        clip_histogram,
+        hist_grid,
+    )
+
+    bh, bw = blockshape
+    n = mesh.shape[axis]
+    h, w = gray.shape
+    if h % (n * bh):
+        raise ValueError(f"rows {h} not divisible by ndev*bh = {n}*{bh}")
+    h_loc = h // n
+    bh2 = bh // 2
+
+    def shard_fn(g):
+        g = g.reshape(h_loc, w)
+        grid = hist_grid(g, blockshape)
+        if clahe_clip > 0:
+            grid = clip_histogram(grid, clahe_clip)
+        m_loc = calc_transfer_func(grid, alpha, punch, clip)
+        m_all = jax.lax.all_gather(m_loc, axis, axis=0, tiled=True)
+
+        # half-block halo from the row neighbors (zeros at global edges)
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+        top = jax.lax.ppermute(g[-bh2:], axis, fwd)
+        bot = jax.lax.ppermute(g[:bh2], axis, bwd)
+        band = jnp.concatenate([top, g, bot], axis=0)  # [h_loc + bh, w]
+
+        ty0 = jax.lax.axis_index(axis) * (h_loc // bh)
+        out = apply_block_mappings_band(band, m_all, blockshape, ty0, w)
+        return out[bh2 : bh2 + h_loc]
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return sharded(gray)
+
+
 def raisr_train_step(
     patches: jnp.ndarray,
     targets: jnp.ndarray,
