@@ -32,22 +32,29 @@ import sys
 import time
 
 
-def _measure(fn, bufs, n_scan, rounds, jax, jnp):
+def _measure(fn, make_buf, n_scan, rounds, jax, jnp):
     """Median per-batch seconds: each timed call is one dispatch of a
-    jitted scan over ``n_scan`` stacked batches (``bufs`` entries are
-    [n_scan, ...] stacks of never-seen-before content)."""
+    jitted scan over ``n_scan`` stacked batches. ``make_buf(r)`` builds
+    round r's [n_scan, ...] stack of never-seen-before content; stacks
+    are created and dropped per round so deep scans (which amortize the
+    ~13 ms dispatch) don't hold rounds x n_scan batches in HBM at once."""
 
     def chain(xs, acc):
         return jax.lax.scan(lambda a, x: (fn(x, a), None), acc, xs)[0]
 
     chain = jax.jit(chain)
-    _ = int(chain(bufs[0], jnp.int32(0)))  # compile + warmup
+    buf = make_buf(0)
+    jax.block_until_ready(buf)
+    _ = int(chain(buf, jnp.int32(0)))  # compile + warmup
     times = []
     for r in range(rounds):
+        del buf
+        buf = make_buf(r + 1)
+        jax.block_until_ready(buf)
         t0 = time.perf_counter()
         # forced host readback of the scan-carried scalar: completion
         # of the whole chain, one tunnel dispatch
-        _ = int(chain(bufs[r + 1], jnp.int32(0)))
+        _ = int(chain(buf, jnp.int32(0)))
         times.append((time.perf_counter() - t0) / n_scan)
     times.sort()
     return times[len(times) // 2]
@@ -71,20 +78,19 @@ def bench_histeq(jax, jnp):
     from oclcomputervision_tpu.ops.pallas.histeq_pallas import histeq_global_pallas
 
     # Batched serving geometry: 256 resident 768x1280 frames per batch,
-    # 4 batches per scan dispatch (1 GB uint8 resident).
+    # 8 batches per scan dispatch (2 GB uint8 resident, one round live
+    # at a time).
     batch, h, w = 256, 768, 1280
-    n_scan, rounds = 4, 3
+    n_scan, rounds = 8, 3
     keys = jax.random.split(jax.random.PRNGKey(0), rounds + 1)
     gen = jax.jit(
         lambda k: jax.random.randint(
             k, (n_scan, batch, h, w), 0, 256, jnp.int32
         ).astype(jnp.uint8)
     )
-    bufs = [gen(k) for k in keys]
-    jax.block_until_ready(bufs)
 
     fn = lambda x, acc: acc + jnp.sum(histeq_global_pallas(x), dtype=jnp.int32)
-    median_s = _measure(fn, bufs, n_scan, rounds, jax, jnp)
+    median_s = _measure(fn, lambda r: gen(keys[r]), n_scan, rounds, jax, jnp)
     print("histeq warmup+measure done", file=sys.stderr, flush=True)
     _emit("fused_histeq_global_throughput", batch * h * w / 1e6 / median_s)
 
@@ -101,17 +107,17 @@ def bench_raisr(jax, jnp):
     cfg = model.cfg
 
     # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 16
-    # per scan step, 4 steps per dispatch; natural-image content so the
+    # per scan step, 8 steps per dispatch; natural-image content so the
     # hash buckets are realistic.
     batch, h, w = 16, 1024, 1024
-    n_scan, rounds = 4, 3
+    n_scan, rounds = 8, 3
     from oclcomputervision_tpu.utils import load_gray
 
     base = load_gray("lenna.png")
     tile = np.tile(base, (-(-h // base.shape[0]), -(-w // base.shape[1])))[:h, :w]
     rng = np.random.default_rng(0)
-    bufs = []
-    for i in range(rounds + 1):
+
+    def make_buf(r):
         stack = []
         for j in range(n_scan):
             # unique content per batch: random roll + additive noise
@@ -119,13 +125,12 @@ def bench_raisr(jax, jnp):
             noisy = tile.astype(np.int16) + rng.integers(-8, 9, tile.shape)
             img = np.clip(np.roll(noisy, sh, (0, 1)), 0, 255).astype(np.uint8)
             stack.append(np.stack([img] * batch))
-        bufs.append(jnp.asarray(np.stack(stack)))
-    jax.block_until_ready(bufs)
+        return jnp.asarray(np.stack(stack))
 
     # the sum runs over the FULL output (a strided subsample would let
     # XLA dead-code-eliminate part of the re-interleave glue)
     fn = lambda x, acc: acc + jnp.sum(raisr_upsample(x, filters, cfg), dtype=jnp.int32)
-    median_s = _measure(fn, bufs, n_scan, rounds, jax, jnp)
+    median_s = _measure(fn, make_buf, n_scan, rounds, jax, jnp)
     print("raisr warmup+measure done", file=sys.stderr, flush=True)
     _emit("raisr_x2_throughput", batch * h * w * cfg.scale**2 / 1e6 / median_s)
 
