@@ -225,12 +225,15 @@ def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_size", "patch_size", "seed_mode", "has_seed", "costfn"),
+    static_argnames=(
+        "search_size", "patch_size", "seed_mode", "has_seed", "costfn", "warp_bound",
+    ),
 )
 def _estimate_2d_fast(
-    gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed, costfn="sad"
+    gray0, gray1, seed, search_size, patch_size, seed_mode, has_seed, costfn="sad",
+    warp_bound=None,
 ):
-    """Warp-based approximate search: one gather per round.
+    """Warp-based approximate search: one warp per round.
 
     Instead of gathering a per-pixel candidate window (exact path,
     lane-hostile on TPU), each round warps frame1 by the current
@@ -241,6 +244,14 @@ def _estimate_2d_fast(
     d(p+o+q), not d(p)), so results are not bit-identical to the exact
     search, but quality on smooth fields matches (EPE parity on the
     Middlebury pair) at ~40x the speed.
+
+    ``warp_bound=B`` replaces the per-pixel warp GATHER (2.5 ms per
+    round at VGA on v5e - 77% of the whole mode) with (2B+1)^2 masked
+    static shifts: the displacement field is clamped to [-B, B] each
+    round, making the warp a one-hot select over a static shift set
+    (~0.3 ms at B=16). Identical to the gather whenever |d| stays
+    within B; flows larger than B saturate (the clamp is the speed
+    contract). None keeps the gather.
     """
     h, w = gray0.shape
     pm = patch_size // 2
@@ -272,19 +283,55 @@ def _estimate_2d_fast(
         return o
 
     def median3x3(a):
-        # 3x3 median (edge-replicated) regularizes the warp feedback
-        p = jnp.pad(a, 1, mode="edge")
-        stack = jnp.stack(
-            [
-                jax.lax.slice(p, (i, j), (i + h, j + w))
-                for i in range(3)
-                for j in range(3)
-            ]
-        )
-        return jnp.sort(stack, axis=0)[4]
+        # 3x3 median (edge-replicated) regularizes the warp feedback.
+        # Paeth's 19-exchange median-of-9 network: ~6x cheaper on the
+        # VPU than jnp.sort of the 9-stack (0.31 ms/sort at VGA).
+        pd = jnp.pad(a, 1, mode="edge")
+        v = [
+            jax.lax.slice(pd, (i, j), (i + h, j + w))
+            for i in range(3)
+            for j in range(3)
+        ]
+
+        def cx(i, j):
+            lo = jnp.minimum(v[i], v[j])
+            v[j] = jnp.maximum(v[i], v[j])
+            v[i] = lo
+
+        for i, j in (
+            (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+            (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+            (4, 2), (6, 4), (4, 2),
+        ):
+            cx(i, j)
+        return v[4]
+
+    f1pad = (
+        jnp.pad(gray1.astype(jnp.int32), warp_bound)
+        if warp_bound is not None
+        else None
+    )
+
+    def warp(dy, dx):
+        if warp_bound is None:
+            return _gather_padded_u8(gray1, ys + dy, xs + dx).astype(jnp.int32), dy, dx
+        b = warp_bound
+        dy = jnp.clip(dy, -b, b)
+        dx = jnp.clip(dx, -b, b)
+        mx = [dx == v for v in range(-b, b + 1)]
+        w1 = jnp.zeros((h, w), jnp.int32)
+        for vy in range(-b, b + 1):
+            inner = jnp.zeros((h, w), jnp.int32)
+            for ix, vx in enumerate(range(-b, b + 1)):
+                sl = jax.lax.slice(
+                    f1pad, (b + vy, b + vx), (b + vy + h, b + vx + w)
+                )
+                inner = inner + jnp.where(mx[ix], sl, 0)
+            w1 = w1 + jnp.where(dy == vy, inner, 0)
+        return w1, dy, dx
 
     for step in me_steps(search_size, patch_size):
-        w1 = _gather_padded_u8(gray1, ys + dy, xs + dx).astype(jnp.int32)
+        w1, dy, dx = warp(dy, dx)
         w1p = jnp.pad(w1, ((step, step), (step, step)))
         sads = []
         for iy, oy in enumerate((-step, 0, step)):
@@ -323,6 +370,7 @@ def estimate_motion_vector(
     seed_mode: str = "shipped",
     method: str = "exact",
     costfn: str = "sad",
+    warp_bound="auto",
 ) -> jnp.ndarray:
     """Dense integer block-matching flow [H, W, 2] (u=x, v=y) float32.
 
@@ -333,10 +381,22 @@ def estimate_motion_vector(
     ``costfn`` in {'sad', 'ssd', 'wsad_shipped', 'wsad'} selects the
     match cost (me_pyramid.py:29-48; the reference search only ever uses
     SAD at :70; the WSAD variants are exact-mode only).
+
+    ``warp_bound`` (fast mode only): 'auto' uses the masked-shift warp
+    with bound 16 on TPU (the per-pixel warp gather is the mode's
+    bottleneck there - see _estimate_2d_fast) and the gather elsewhere;
+    'gather' forces the gather; an int forces the masked warp with
+    that displacement clamp.
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
     has_seed = seed is not None
+    if warp_bound == "auto":
+        wb = 16 if jax.default_backend() == "tpu" else None
+    elif warp_bound == "gather":
+        wb = None
+    else:
+        wb = int(warp_bound)
     steps = me_steps(search_size, patch_size)
     if (
         method == "exact"
@@ -354,7 +414,10 @@ def estimate_motion_vector(
                 )
             )(gray0, gray1)
         return _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn)
-    impl = {"exact": _estimate_2d, "fast": _estimate_2d_fast}[method]
+    if method == "fast":
+        impl = functools.partial(_estimate_2d_fast, warp_bound=wb)
+    else:
+        impl = _estimate_2d
     s = jnp.asarray(seed) if has_seed else jnp.zeros((1,), jnp.float32)
     if gray0.ndim == 3:
         return jax.vmap(

@@ -148,6 +148,30 @@ class TestFastAndSmooth:
         assert np.median(inner[..., 0]) == -3
         assert np.median(inner[..., 1]) == -2
 
+    def test_masked_warp_matches_gather(self):
+        # the masked-shift warp is defined to equal the gather warp
+        # whenever |d| stays within the bound; a 3px-shifted pair with a
+        # bound of 8 must therefore give IDENTICAL flows (and a bound of
+        # 1 must differ - the clamp saturates the true motion)
+        import cv2
+
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+        base = cv2.GaussianBlur(base, (9, 9), 3)
+        f0 = base[8:40, 8:56]
+        f1 = base[11:43, 11:59]
+        ref = np.asarray(
+            ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound="gather")
+        )
+        got = np.asarray(
+            ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound=8)
+        )
+        np.testing.assert_array_equal(got, ref)
+        clamped = np.asarray(
+            ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound=1)
+        )
+        assert np.abs(clamped).max() <= np.abs(ref).max()
+
     def test_median_filter_flow(self):
         mv = np.zeros((16, 16, 2), np.float32)
         mv[8, 8] = (50, -50)  # salt outlier
