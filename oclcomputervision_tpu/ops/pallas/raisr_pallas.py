@@ -46,12 +46,22 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 64  # output rows per grid step
 
 
-def _hash_tile_h(w2p: int) -> int:
-    """Hash kernel rows per grid step: 64 gains ~5% over 32 (the halo
-    fraction halves) but its scratch only fits VMEM up to ~512-wide
-    planes; wider geometry (e.g. the 1024^2 bench shape) OOMs the
-    16 MB scoped vmem at 64, so fall back to 32."""
-    return 64 if w2p <= 512 else 32
+def _hash_tile_h(w2p: int, s: int = 2) -> int:
+    """Hash kernel rows per grid step, or 0 if no tile fits.
+
+    The kernel's scoped-vmem footprint (scratch + the unrolled stencil
+    temporaries) scales ~ s^2 * tile * w2p; empirically the 16 MB limit
+    admits s^2*th*w2p <= 131072 (s=2: 64@512 ok / 64@1024 OOM by 9.25M;
+    s=3: 32@256 ok / 32@512 OOM by 1.3M) with a tighter 65536 at s=4
+    (verified 16@256, 8@512). Taller tiles only buy the halo fraction
+    (~5% at 64 vs 32), so the largest fitting power of two >= 8 is
+    taken; 0 means the caller must use the XLA twin."""
+    budget = 65536 if s >= 4 else 131072
+    cap = budget // (s * s * w2p)
+    th = 8
+    while th * 2 <= min(cap, 64):
+        th *= 2
+    return th if cap >= 8 else 0
 
 
 HALO_ROWS = 8  # >= 2 * plane halo, padded to a sublane multiple
@@ -215,7 +225,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
     from oclcomputervision_tpu.ops.raisr import _blur_k1
 
     s = cfg.scale
-    th = _hash_tile_h(w2p)
+    th = _hash_tile_h(w2p, s)
     hp = plane_halo(cfg.filter_len, s, cfg.gauss_len)
     g = cfg.gauss_len // 2
     bh = -(-g // s)  # plane halo of the blur stage
@@ -365,20 +375,20 @@ def hash_planes_pallas(planes, cfg, interpret: bool = False, h2p: int | None = N
     kernel = _make_hash_kernel(cfg, w2p, wq)
     return pl.pallas_call(
         kernel,
-        grid=(nb, h2p // _hash_tile_h(w2p)),
+        grid=(nb, h2p // _hash_tile_h(w2p, s)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, s * s, _hash_tile_h(w2p), w2p),
+            (1, s * s, _hash_tile_h(w2p, s), w2p),
             lambda b, i: (b, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb, s * s, h2p, w2p), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((s * s, _hash_tile_h(w2p) + HALO_ROWS, wq), jnp.float32),
+            pltpu.VMEM((s * s, _hash_tile_h(w2p, s) + HALO_ROWS, wq), jnp.float32),
             pltpu.VMEM(
-                (3, s * s, _hash_tile_h(w2p) + 2 * bh, w2p + 2 * bh), jnp.float32
+                (3, s * s, _hash_tile_h(w2p, s) + 2 * bh, w2p + 2 * bh), jnp.float32
             ),
-            pltpu.VMEM((3, s * s, _hash_tile_h(w2p), w2p + 2 * bh), jnp.float32),
+            pltpu.VMEM((3, s * s, _hash_tile_h(w2p, s), w2p + 2 * bh), jnp.float32),
             pltpu.SemaphoreType.DMA((s * s,)),
         ],
         interpret=interpret,

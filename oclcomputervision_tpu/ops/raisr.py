@@ -507,16 +507,20 @@ def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
         if nchan == 4:
             yuv_planes.append(chan_planes[3])  # alpha passes through
 
-    if s == 2:
-        from oclcomputervision_tpu.ops.pallas.raisr_pallas import hash_planes_pallas
+    from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+        _hash_tile_h,
+        hash_planes_pallas,
+    )
 
+    if _hash_tile_h(w2p, s) >= 8:
         # VMEM-resident hash kernel: the XLA hash_planes twin spends
         # ~4 ms/img round-tripping fp32 gradient/blur intermediates
-        # through HBM
+        # through HBM (~10x the kernel at s=3, measured). The tile rule
+        # knows which (s, w2p) fit the Mosaic scoped-vmem limit.
         bucket_pl = hash_planes_pallas(yuv_planes[0], cfg, interpret, h2p=h2p)
     else:
-        # s >= 3 unrolls s^2 phase stencils in-kernel and blows the
-        # Mosaic VMEM stack; the XLA twin handles the general case
+        # very wide high-scale geometry: the s^2 unrolled stencils
+        # exceed scoped vmem at every tile height; XLA twin fallback
         bucket_pl = hash_planes(yuv_planes[0], cfg, hp, h2p, w2p)
 
     # single-launch color: channels stack into the kernel's batch grid
