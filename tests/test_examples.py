@@ -44,3 +44,19 @@ def test_histeq_demo_writes_panel(tmp_path):
     r = _run("examples/histeq_demo.py", ["--out", out])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
+
+
+def test_interpolation_bench_protocol(tmp_path):
+    # the 1024^2 -> 2048^2 lenna protocol with PSNR vs the fp64 oracle
+    # (interpolation.py:109-246's benchmark, headless)
+    r = _run("examples/interpolation_bench.py", [], timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for method in ("bilinear", "bicubic"):
+        assert f"{method}: cv2 took" in r.stdout
+        assert f"{method}: TPU took" in r.stdout
+    # oracle agreement is part of the protocol: PSNR lines must parse
+    # and the library output must be near-exact vs the oracle
+    import re
+
+    vals = [float(m) for m in re.findall(r"PSNR vs oracle: ([0-9.]+|inf)", r.stdout.replace("inf", "99"))]
+    assert len(vals) == 4 and min(vals[1::2]) > 50  # library rows
