@@ -61,6 +61,53 @@ def device_trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def profile_device(fn: Callable, *args, logdir: str | None = None) -> dict:
+    """Per-op DEVICE milliseconds of one fn(*args) call, from a profiler
+    trace: {op_name: ms}, plus '__total__'.
+
+    This is the ground truth on remote/tunneled devices, where
+    wall-clock timing carries per-dispatch overhead (~13 ms here) and
+    block_until_ready is unreliable: the trace's "XLA Ops" timeline
+    records what the chip actually executed. fn should be jitted and
+    already warmed up (compile inside the trace would be recorded as
+    dead air, not ops).
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    import jax
+
+    logdir = logdir or tempfile.mkdtemp(prefix="ocv_profile_")
+    with jax.profiler.trace(logdir):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    traces = sorted(
+        glob.glob(os.path.join(logdir, "plugins/profile/*/*.trace.json.gz"))
+    )
+    if not traces:  # pragma: no cover - backend without trace support
+        return {"__total__": float("nan")}
+    data = json.load(gzip.open(traces[-1]))
+    threads = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            threads[(e["pid"], e["tid"])] = e["args"]["name"]
+    per_op: dict = {}
+    total = 0.0
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        if "XLA Ops" not in str(threads.get((e["pid"], e["tid"]), "")):
+            continue
+        ms = e.get("dur", 0) / 1e3
+        per_op[e["name"]] = per_op.get(e["name"], 0.0) + ms
+        total += ms
+    per_op["__total__"] = total
+    return per_op
+
+
 def bench_op(fn: Callable, *args, warmup: int = 2, iters: int = 20) -> float:
     """Median wall-clock ms of fn(*args) after warmup, blocking each call."""
     for _ in range(warmup):

@@ -60,3 +60,20 @@ def test_interpolation_bench_protocol(tmp_path):
 
     vals = [float(m) for m in re.findall(r"PSNR vs oracle: ([0-9.]+|inf)", r.stdout.replace("inf", "99"))]
     assert len(vals) == 4 and min(vals[1::2]) > 50  # library rows
+
+
+def test_profile_device_reports_ops():
+    # CPU traces also carry an XLA Ops timeline; the helper must return
+    # per-op device ms and a total
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from oclcomputervision_tpu.utils.profiling import profile_device
+
+    f = jax.jit(lambda x: jnp.sum(x @ x))
+    x = jnp.ones((256, 256), jnp.float32)
+    _ = f(x)  # warmup/compile outside the trace
+    prof = profile_device(f, x)
+    assert "__total__" in prof
