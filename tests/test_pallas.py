@@ -304,3 +304,19 @@ class TestUpscalePlanesKernel:
             assert np.abs(got[:, :, :hq] - ref).max() <= 1.2e-7
             # zero tail rows (consumers never read them)
             assert not np.any(got[:, :, hq:])
+
+
+class TestHashTileRule:
+    def test_budget_rule_matches_verified_points(self):
+        # pin the empirically-verified scoped-vmem fit points (OOM data
+        # in the _hash_tile_h docstring); a rule change that violates
+        # one of these will OOM on hardware or waste throughput
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import _hash_tile_h
+
+        assert _hash_tile_h(512, 2) == 64   # verified fits
+        assert _hash_tile_h(1024, 2) == 32  # 64 OOMs by 9.25M
+        assert _hash_tile_h(256, 3) == 32   # verified fits
+        assert _hash_tile_h(512, 3) == 16   # 32 OOMs by 1.3M
+        assert _hash_tile_h(256, 4) == 16   # verified fits
+        assert _hash_tile_h(512, 4) == 8    # verified fits
+        assert _hash_tile_h(2048, 4) == 0   # no tile fits -> XLA twin
