@@ -78,10 +78,10 @@ def bench_histeq(jax, jnp):
     from oclcomputervision_tpu.ops.pallas.histeq_pallas import histeq_global_pallas
 
     # Batched serving geometry: 256 resident 768x1280 frames per batch,
-    # 8 batches per scan dispatch (2 GB uint8 resident, one round live
-    # at a time).
+    # 16 batches per scan dispatch (4 GB uint8 resident, one round live
+    # at a time; dispatch overhead < 3% of the chain).
     batch, h, w = 256, 768, 1280
-    n_scan, rounds = 8, 3
+    n_scan, rounds = 16, 3
     keys = jax.random.split(jax.random.PRNGKey(0), rounds + 1)
     gen = jax.jit(
         lambda k: jax.random.randint(
@@ -107,10 +107,10 @@ def bench_raisr(jax, jnp):
     cfg = model.cfg
 
     # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 16
-    # per scan step, 8 steps per dispatch; natural-image content so the
+    # per scan step, 16 steps per dispatch; natural-image content so the
     # hash buckets are realistic.
     batch, h, w = 16, 1024, 1024
-    n_scan, rounds = 8, 3
+    n_scan, rounds = 16, 3
     from oclcomputervision_tpu.utils import load_gray
 
     base = load_gray("lenna.png")
