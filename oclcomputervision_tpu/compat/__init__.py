@@ -18,7 +18,6 @@ shape ("took GPU: ... ms") but report device wall time.
 
 from __future__ import annotations
 
-import time
 from typing import Optional, Tuple
 
 import numpy as np
