@@ -76,9 +76,15 @@ def plane_halo(fl: int, s: int, gauss_len: int = 9) -> int:
 
 def _row_chunk(w2: int) -> int:
     """Rows per tap-matrix/matmul chunk: largest power of two (<= 16)
-    whose [NB_PAD, rc*w2] f32 response fits in ~8MB of VMEM."""
+    whose [NB_PAD, rc*w2] f32 response fits the scoped-vmem budget.
+
+    Bigger chunks amortize per-chunk overhead: rc=16 at w2=1024 (a
+    14.7 MB response) measured 10.40 ms/phase vs 10.85 at rc=8 and
+    16.0 at rc=4, and compiles despite the naive buffer sum exceeding
+    16 MB (Mosaic streams the matmul output); the 15 MB cap admits
+    exactly the run-verified configs and everything strictly smaller."""
     rc = 16
-    while rc > 1 and NB_PAD * rc * w2 * 4 > 8 * 2**20:
+    while rc > 1 and NB_PAD * rc * w2 * 4 > 15 * 2**20:
         rc //= 2
     return rc
 
