@@ -378,6 +378,11 @@ def hash_planes_pallas(planes, cfg, interpret: bool = False, h2p: int | None = N
         h2p = planes.shape[2] - HALO_ROWS
     w2p = planes.shape[3] - 128
     wq = planes.shape[3]
+    if _hash_tile_h(w2p, s) == 0:
+        raise ValueError(
+            f"no hash tile fits scoped vmem at scale {s}, plane width "
+            f"{w2p}; use ops.raisr.hash_planes (the dispatcher does)"
+        )
     kernel = _make_hash_kernel(cfg, w2p, wq)
     return pl.pallas_call(
         kernel,
