@@ -172,6 +172,46 @@ class TestFastAndSmooth:
         )
         assert np.abs(clamped).max() <= np.abs(ref).max()
 
+    def test_masked_warp_batched_and_seeded(self):
+        # the masked warp must behave identically under vmap (batched
+        # frames) and honor seeds like the gather path
+        import cv2
+
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+        base = cv2.GaussianBlur(base, (9, 9), 3)
+        f0 = base[8:40, 8:56]
+        f1 = base[10:42, 12:60]
+        seed = np.zeros(f0.shape + (2,), np.float32)
+        seed[..., 0] = -3.0  # u close to the true -4 shift
+        seed[..., 1] = -1.0
+        # the bound must cover |trunc(seed)| + the step sums the rounds
+        # can visit (5+2 before the last clamp): 3 + 7 < 12
+        for args in (dict(), dict(seed=seed, seed_mode="fixed")):
+            ref = np.asarray(
+                ops.estimate_motion_vector(
+                    f0, f1, 15, 5, method="fast", warp_bound="gather", **args
+                )
+            )
+            got = np.asarray(
+                ops.estimate_motion_vector(
+                    f0, f1, 15, 5, method="fast", warp_bound=12, **args
+                )
+            )
+            np.testing.assert_array_equal(got, ref)
+        # batched == per-image
+        bat = np.asarray(
+            ops.estimate_motion_vector(
+                np.stack([f0, f0]), np.stack([f1, f1]), 15, 5,
+                method="fast", warp_bound=8,
+            )
+        )
+        single = np.asarray(
+            ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound=8)
+        )
+        np.testing.assert_array_equal(bat[0], single)
+        np.testing.assert_array_equal(bat[1], single)
+
     def test_median_filter_flow(self):
         mv = np.zeros((16, 16, 2), np.float32)
         mv[8, 8] = (50, -50)  # salt outlier
