@@ -507,6 +507,7 @@ def estimate_motion_pyramid(
     seed_mode: str = "fixed",
     method: str = "exact",
     smooth: int = 0,
+    warp_bound="auto",
 ):
     """Coarse-to-fine driver (me_test.py:76-90): returns per-level flows,
     index 0 = coarsest, last = full resolution.
@@ -514,6 +515,11 @@ def estimate_motion_pyramid(
     ``smooth`` > 0 median-filters each level's flow (kernel size
     ``smooth``) before seeding the next level and on the final output -
     a quality extension over the reference (see median_filter_flow).
+
+    ``warp_bound`` passes through to the fast mode (see
+    estimate_motion_vector): 'auto' clamps displacements to 16 on TPU -
+    ample for Middlebury-scale motion; raise it (or pass 'gather') for
+    scenes whose per-level flow exceeds 16 px.
     """
     from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
 
@@ -524,7 +530,7 @@ def estimate_motion_pyramid(
     for lv in range(levels):
         mv = estimate_motion_vector(
             pyr0[lv], pyr1[lv], search_size, patch_size, seed=seed,
-            seed_mode=seed_mode, method=method,
+            seed_mode=seed_mode, method=method, warp_bound=warp_bound,
         )
         if smooth > 0:
             mv = median_filter_flow(mv, smooth)
