@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--smooth", type=int, default=0,
                     help="median-filter kernel between levels (0=off; 9 halves EPE)")
     ap.add_argument("--outdir", default="/tmp")
+    ap.add_argument("--probe", type=int, nargs=2, metavar=("Y", "X"),
+                    help="also write the zoomed search view at this pixel")
     args = ap.parse_args()
 
     g0 = load_gray("frame10.png")
@@ -77,6 +79,15 @@ def main():
     if overlay:
         print(f"search/flow overlay -> {overlay}")
 
+    if args.probe:
+        py, px = args.probe
+        zoom = write_probe_zoom(
+            g0, g1, np.asarray(flows[-1]), py, px, 15, 5,
+            os.path.join(args.outdir, f"probe_{py}_{px}.png"),
+        )
+        if zoom:
+            print(f"zoomed probe view -> {zoom}")
+
 
 def write_search_overlay(g0, mv, search_size, patch_size, path, grid=24):
     """Headless equivalent of the reference's visualizeSearch/visualizeME
@@ -102,6 +113,56 @@ def write_search_overlay(g0, mv, search_size, patch_size, path, grid=24):
                 (0, 0, 255), 1, tipLength=0.35,
             )
     cv2.imwrite(path, img)
+    return path
+
+
+def write_probe_zoom(g0, g1, mv, y, x, search_size, patch_size, path, scale=12):
+    """Headless twin of the reference's per-candidate visualizeSearch
+    loop (me_pyramid.py:59-64, 75-84): writes ONE zoomed image of probe
+    (y, x)'s search region in frame 1 with the zero-displacement
+    candidate box (red) and the matched best box (green), next to the
+    30x-style zoomed patch from frame 0, instead of a cv2.waitKey()
+    stepper per candidate.
+    """
+    try:
+        import cv2
+    except ImportError:
+        return None
+    import numpy as np
+
+    pm, sm = patch_size // 2, search_size // 2
+    h, w = g0.shape
+    y = int(np.clip(y, sm, h - sm - 1))
+    x = int(np.clip(x, sm, w - sm - 1))
+    region = g1[y - sm : y + sm + 1, x - sm : x + sm + 1]
+    big = cv2.cvtColor(region, cv2.COLOR_GRAY2BGR)
+    big = cv2.resize(
+        big, (big.shape[1] * scale, big.shape[0] * scale),
+        interpolation=cv2.INTER_NEAREST,
+    )
+
+    def box(img, cy, cx, color):
+        cv2.rectangle(
+            img,
+            ((cx - pm) * scale, (cy - pm) * scale),
+            ((cx + pm + 1) * scale - 1, (cy + pm + 1) * scale - 1),
+            color,
+            2,
+        )
+
+    u, v = mv[y, x]
+    box(big, sm, sm, (0, 0, 255))  # zero-displacement candidate
+    box(big, sm + int(round(v)), sm + int(round(u)), (0, 255, 0))  # match
+    patch = g0[y - pm : y + pm + 1, x - pm : x + pm + 1]
+    pz = cv2.cvtColor(patch, cv2.COLOR_GRAY2BGR)
+    pz = cv2.resize(
+        pz, (patch_size * scale, patch_size * scale),
+        interpolation=cv2.INTER_NEAREST,
+    )
+    panel = np.zeros((big.shape[0], big.shape[1] + pz.shape[1] + scale, 3), np.uint8)
+    panel[:, : big.shape[1]] = big
+    panel[: pz.shape[0], big.shape[1] + scale :] = pz
+    cv2.imwrite(path, panel)
     return path
 
 

@@ -32,11 +32,13 @@ def _run(script, args, timeout=900):
 def test_me_demo_runs_and_scores(tmp_path):
     r = _run(
         "examples/me_demo.py",
-        ["--levels", "2", "--method", "fast", "--outdir", str(tmp_path)],
+        ["--levels", "2", "--method", "fast", "--outdir", str(tmp_path),
+         "--probe", "120", "200"],
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "EPE" in r.stdout and "layer 1" in r.stdout
     assert (tmp_path / "layer0.flo").exists()
+    assert (tmp_path / "probe_120_200.png").exists()
 
 
 def test_histeq_demo_writes_panel(tmp_path):
