@@ -245,13 +245,23 @@ def _estimate_2d_fast(
     search, but quality on smooth fields matches (EPE parity on the
     Middlebury pair) at ~40x the speed.
 
-    ``warp_bound=B`` replaces the per-pixel warp GATHER (2.5 ms per
-    round at VGA on v5e - 77% of the whole mode) with (2B+1)^2 masked
-    static shifts: the displacement field is clamped to [-B, B] each
-    round, making the warp a one-hot select over a static shift set
-    (~0.3 ms at B=16). Identical to the gather whenever |d| stays
-    within B; flows larger than B saturate (the clamp is the speed
-    contract). None keeps the gather.
+    ``warp_bound`` != None replaces the per-pixel warp GATHER (2.5 ms
+    per round at VGA on v5e - 77% of the whole mode) with masked static
+    shifts. The field decomposes as d = trunc(seed) + r: frame1 is
+    warped by the seed base ONCE (a single gather - or not at all when
+    unseeded), and each round's warp handles only the search residual
+    r, which is bounded by sum(steps) BY CONSTRUCTION (each round moves
+    the center by at most its step; the median is order-preserving), so
+    the (2*sum(steps)+1)^2 shift set is exact - no re-clamp cycles, no
+    silent saturation (the round-2 'auto' mode re-clamped the FULL
+    field to [-16, 16] every round, walking seeded flows > 16 px to
+    wrong values). The residual warp samples the seed at p + r instead
+    of p (seed fields are smooth upscaled flows; EPE on the Middlebury
+    pair is unchanged - see tests). A non-negative int ``warp_bound``
+    additionally clamps the seed BASE to [-B, B] once on entry (the
+    legacy saturation contract, now one-time; the public wrapper warns
+    when a concrete seed actually saturates). None keeps the per-round
+    gather of the full field.
     """
     h, w = gray0.shape
     pm = patch_size // 2
@@ -306,32 +316,40 @@ def _estimate_2d_fast(
             cx(i, j)
         return v[4]
 
-    f1pad = (
-        jnp.pad(gray1.astype(jnp.int32), warp_bound)
-        if warp_bound is not None
-        else None
-    )
+    steps = me_steps(search_size, patch_size)
+    base_y = base_x = None
+    if warp_bound is not None:
+        if warp_bound >= 0:
+            # legacy saturation contract: clamp the seed base ONCE
+            dy = jnp.clip(dy, -warp_bound, warp_bound)
+            dx = jnp.clip(dx, -warp_bound, warp_bound)
+        base_y, base_x = dy, dx
+        dy = jnp.zeros_like(dy)  # dy/dx become the search residuals
+        dx = jnp.zeros_like(dx)
+        if has_seed:
+            base1 = _gather_padded_u8(gray1, ys + base_y, xs + base_x)
+        else:
+            base1 = gray1
+        rb = sum(steps)  # exact residual bound (see docstring)
+        f1pad = jnp.pad(base1.astype(jnp.int32), rb)
 
-    def warp(dy, dx):
+    def warp(ry, rx):
         if warp_bound is None:
-            return _gather_padded_u8(gray1, ys + dy, xs + dx).astype(jnp.int32), dy, dx
-        b = warp_bound
-        dy = jnp.clip(dy, -b, b)
-        dx = jnp.clip(dx, -b, b)
-        mx = [dx == v for v in range(-b, b + 1)]
+            return _gather_padded_u8(gray1, ys + ry, xs + rx).astype(jnp.int32)
+        mx = [rx == v for v in range(-rb, rb + 1)]
         w1 = jnp.zeros((h, w), jnp.int32)
-        for vy in range(-b, b + 1):
+        for vy in range(-rb, rb + 1):
             inner = jnp.zeros((h, w), jnp.int32)
-            for ix, vx in enumerate(range(-b, b + 1)):
+            for ix, vx in enumerate(range(-rb, rb + 1)):
                 sl = jax.lax.slice(
-                    f1pad, (b + vy, b + vx), (b + vy + h, b + vx + w)
+                    f1pad, (rb + vy, rb + vx), (rb + vy + h, rb + vx + w)
                 )
                 inner = inner + jnp.where(mx[ix], sl, 0)
-            w1 = w1 + jnp.where(dy == vy, inner, 0)
-        return w1, dy, dx
+            w1 = w1 + jnp.where(ry == vy, inner, 0)
+        return w1
 
-    for step in me_steps(search_size, patch_size):
-        w1, dy, dx = warp(dy, dx)
+    for step in steps:
+        w1 = warp(dy, dx)
         w1p = jnp.pad(w1, ((step, step), (step, step)))
         sads = []
         for iy, oy in enumerate((-step, 0, step)):
@@ -352,6 +370,9 @@ def _estimate_2d_fast(
         dy = median3x3(dy + (best // 3 - 1) * step)
         dx = median3x3(dx + (best % 3 - 1) * step)
 
+    if base_y is not None:
+        dy = base_y + dy
+        dx = base_x + dx
     du = dx.astype(jnp.float32)
     dv = dy.astype(jnp.float32)
     if seed_mode == "shipped":
@@ -383,20 +404,46 @@ def estimate_motion_vector(
     SAD at :70; the WSAD variants are exact-mode only).
 
     ``warp_bound`` (fast mode only): 'auto' uses the masked-shift warp
-    with bound 16 on TPU (the per-pixel warp gather is the mode's
-    bottleneck there - see _estimate_2d_fast) and the gather elsewhere;
-    'gather' forces the gather; an int forces the masked warp with
-    that displacement clamp.
+    on TPU (the per-pixel warp gather is the mode's bottleneck there -
+    see _estimate_2d_fast) with NO clamp: the seed base is gather-warped
+    once and only the bounded search residual uses masked shifts, so
+    arbitrarily large seeds are preserved. 'gather' forces the per-round
+    gather; an int B >= 0 additionally clamps the seed base to [-B, B]
+    once on entry (the legacy saturation contract) - a warning is
+    emitted when a concrete seed actually saturates.
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
     has_seed = seed is not None
     if warp_bound == "auto":
-        wb = 16 if jax.default_backend() == "tpu" else None
+        wb = -1 if jax.default_backend() == "tpu" else None
     elif warp_bound == "gather":
         wb = None
     else:
         wb = int(warp_bound)
+        if wb < 0:
+            raise ValueError(
+                "warp_bound must be 'auto', 'gather', or an int >= 0"
+            )
+    if (
+        method == "fast"
+        and wb is not None
+        and wb >= 0
+        and has_seed
+        and not isinstance(seed, jax.core.Tracer)
+    ):
+        base_max = float(np.max(np.abs(np.trunc(np.asarray(seed)))))
+        if base_max > wb:
+            import warnings
+
+            warnings.warn(
+                f"fast-mode seed displacements reach {base_max:.0f} px but "
+                f"warp_bound={wb} clamps the seed base to [-{wb}, {wb}]; "
+                "the flow saturates there. Pass warp_bound='auto' (no "
+                "clamp) or a larger bound.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     steps = me_steps(search_size, patch_size)
     if (
         method == "exact"
@@ -517,9 +564,11 @@ def estimate_motion_pyramid(
     a quality extension over the reference (see median_filter_flow).
 
     ``warp_bound`` passes through to the fast mode (see
-    estimate_motion_vector): 'auto' clamps displacements to 16 on TPU -
-    ample for Middlebury-scale motion; raise it (or pass 'gather') for
-    scenes whose per-level flow exceeds 16 px.
+    estimate_motion_vector): the 'auto' default preserves seeds of any
+    magnitude (the seed base is gather-warped once per level; only the
+    bounded search residual uses masked shifts). An explicit int bound
+    clamps each level's seed base once and warns when the upscaled
+    flow actually saturates there.
     """
     from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
 

@@ -149,10 +149,10 @@ class TestFastAndSmooth:
         assert np.median(inner[..., 1]) == -2
 
     def test_masked_warp_matches_gather(self):
-        # the masked-shift warp is defined to equal the gather warp
-        # whenever |d| stays within the bound; a 3px-shifted pair with a
-        # bound of 8 must therefore give IDENTICAL flows (and a bound of
-        # 1 must differ - the clamp saturates the true motion)
+        # the masked-shift warp is the base-gather + exact bounded
+        # residual decomposition: unseeded it must equal the gather warp
+        # for ANY bound (there is no seed base to clamp - the residual
+        # set covers the whole reachable search by construction)
         import cv2
 
         rng = np.random.default_rng(2)
@@ -163,14 +163,59 @@ class TestFastAndSmooth:
         ref = np.asarray(
             ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound="gather")
         )
-        got = np.asarray(
-            ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound=8)
-        )
-        np.testing.assert_array_equal(got, ref)
-        clamped = np.asarray(
-            ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound=1)
-        )
-        assert np.abs(clamped).max() <= np.abs(ref).max()
+        for bound in (8, 1, 0):
+            got = np.asarray(
+                ops.estimate_motion_vector(f0, f1, 15, 5, method="fast", warp_bound=bound)
+            )
+            np.testing.assert_array_equal(got, ref)
+
+    def test_large_seed_preserved_and_saturation_warns(self):
+        # ADVICE r2 (medium): the round-2 masked warp re-clamped the FULL
+        # field to [-16, 16] every round, so a 20 px seed converged to a
+        # wrong value SILENTLY. Now: an int bound clamps the seed base
+        # once and warns; a bound covering the seed preserves it exactly.
+        import warnings
+
+        import cv2
+
+        rng = np.random.default_rng(5)
+        big = rng.integers(0, 256, size=(96, 120), dtype=np.uint8)
+        big = cv2.GaussianBlur(big, (9, 9), 3)
+        f0 = big[30:62, 30:78]
+        f1 = big[30:62, 50:98]  # true shift u = -20
+        seed = np.zeros(f0.shape + (2,), np.float32)
+        seed[..., 0] = -20.0
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no warning may fire
+            mv = np.asarray(
+                ops.estimate_motion_vector(
+                    f0, f1, 15, 5, seed=seed, seed_mode="fixed",
+                    method="fast", warp_bound=24,
+                )
+            )
+        assert np.median(mv[4:-4, 4:-4, 0]) == -20
+        # bound 16 < |seed|: must warn, and the flow saturates at the
+        # base clamp (16) plus at most the residual reach (8)
+        with pytest.warns(RuntimeWarning, match="warp_bound=16"):
+            sat = np.asarray(
+                ops.estimate_motion_vector(
+                    f0, f1, 15, 5, seed=seed, seed_mode="fixed",
+                    method="fast", warp_bound=16,
+                )
+            )
+        assert np.abs(sat).max() <= 16 + 8
+
+    def test_pyramid_surfaces_warp_bound_warning(self, frames_gray):
+        # estimate_motion_pyramid passes warp_bound through; a tiny
+        # explicit bound must surface the saturation warning from the
+        # seeded levels (VERDICT r2 item 9)
+        g0, g1 = frames_gray
+        g0 = g0[:64, :96]
+        g1 = np.roll(g1[:64, :96], 5, axis=1)
+        with pytest.warns(RuntimeWarning, match="warp_bound=1"):
+            ops.estimate_motion_pyramid(
+                g0, g1, levels=3, method="fast", warp_bound=1,
+            )
 
     def test_masked_warp_batched_and_seeded(self):
         # the masked warp must behave identically under vmap (batched
