@@ -32,6 +32,94 @@ def calc_transfer_func(hist, alpha, punch, clip):
     return oracle.calc_transfer_func(hist, alpha, punch, clip)
 
 
+# --- module-level ME helpers (me_pyramid.py:15-127) -------------------
+# Reference user code calls these per-pixel inside Python loops, so they
+# are plain NumPy (a device dispatch per 5x5 patch would be absurd); the
+# TPU search lives in ops.motion and is bit-identical to the loop these
+# helpers express.
+
+#: Headless import-parity twins of the reference's cv2-window toggles
+#: (me_pyramid.py:50,129). Setting them has no effect here - the
+#: visualizers exist as examples/me_demo.py's written-image panels.
+visualizeSearch = False
+visualizeME = False
+
+
+def gaussian2d(shape=(3, 3), sigma=0.5):
+    """MATLAB fspecial('gaussian')-style mask (me_pyramid.py:15-27)."""
+    return oracle.motion.gaussian2d(shape, sigma)
+
+
+def SSD(p0, p1):
+    """Sum of squared differences of two 2-D patches (me_pyramid.py:29-34)."""
+    assert len(p0.shape) == 2 and p0.shape == p1.shape
+    return float(oracle.motion.patch_cost(
+        p0.astype(np.float32), p1.astype(np.float32), "ssd"))
+
+
+def SAD(p0, p1):
+    """Sum of absolute differences of two 2-D patches (me_pyramid.py:36-41)."""
+    assert len(p0.shape) == 2 and p0.shape == p1.shape
+    return float(oracle.motion.patch_cost(
+        p0.astype(np.float32), p1.astype(np.float32), "sad"))
+
+
+def WSAD(p0, p1, sigma=2.0):
+    """Gaussian-weighted SAD incl. the np.dot-as-MATMUL quirk
+    (me_pyramid.py:43-48; SURVEY.md fidelity note 9)."""
+    assert len(p0.shape) == 2 and p0.shape == p1.shape
+    w = oracle.motion.gaussian2d(p0.shape, sigma).astype(np.float32)
+    return float(np.abs(p0.astype(np.float32) @ w - p1.astype(np.float32) @ w).sum())
+
+
+def get_displacement(patch, searchRegion, step):
+    """Exhaustive stride-``step`` SAD scan of ``searchRegion``
+    (me_pyramid.py:51-87): returns (drow, dcol) of the first strict
+    minimum relative to the region's patch-aligned center, or (0, 0)
+    when the region is smaller than the patch."""
+    patch = np.asarray(patch)
+    searchRegion = np.asarray(searchRegion)
+    ph, pw = patch.shape
+    if searchRegion.shape[0] < ph or searchRegion.shape[1] < pw:
+        return 0, 0
+    center = (searchRegion.shape[0] // 2 - ph // 2, searchRegion.shape[1] // 2 - pw // 2)
+    best = (np.inf, -1, -1)
+    for row in range(0, searchRegion.shape[0] + 1 - ph, step):
+        for col in range(0, searchRegion.shape[1] + 1 - pw, step):
+            sad = SAD(patch, searchRegion[row : row + ph, col : col + pw])
+            if sad < best[0]:
+                best = (sad, row, col)
+    assert best[1] >= 0 and best[2] >= 0
+    return best[1] - center[0], best[2] - center[1]
+
+
+def get_region_padded(im, T, B, L, R, size):
+    """``im[T:B, L:R]`` zero-padded to the window (me_pyramid.py:89-127),
+    reproducing the shipped margin arithmetic branch-for-branch - incl.
+    its quirk that a window overhanging BOTH edges of an axis (possible
+    only when the window is taller/wider than the image) comes back
+    short, because the T<0 branch wins and never re-checks B > H."""
+    im = np.asarray(im)
+    h, w = im.shape[:2]
+
+    def margins(lo, hi, n):
+        # returns (clamped lo, clamped hi, pad_before, pad_after)
+        if hi < 0:
+            return 0, 0, size, 0
+        if lo < 0:  # and hi >= 0
+            return 0, hi, size - hi, 0
+        if lo > n:
+            return n, n, 0, size
+        if hi > n:  # and lo <= n
+            return lo, n, 0, size - (n - lo)
+        return lo, hi, 0, 0
+
+    T, B, mt, mb = margins(T, B, h)
+    L, R, ml, mr = margins(L, R, w)
+    region = im[T:B, L:R]
+    return np.pad(region, ((mt, mb), (ml, mr)), mode="constant")
+
+
 def histeq_global(gray, alpha=1, punch=0.05, clip=2, use_gpu=True):
     if use_gpu:
         out, ms = timed(ops.histeq_global, gray, float(alpha), float(punch), float(clip))

@@ -83,6 +83,70 @@ class TestMotionCompat:
         compat.write_flo(flow_gt, p)
         np.testing.assert_array_equal(compat.read_flo(p), flow_gt)
 
+    def test_reference_public_name_parity(self):
+        # every module-level name reference user code can import from
+        # me_pyramid.py / me_test.py resolves here (VERDICT r2 item 7)
+        for name in (
+            "mv2hsv", "gaussian2d", "SSD", "SAD", "WSAD", "get_displacement",
+            "get_region_padded", "estimate_motion_vector", "visualizeME",
+            "visualizeSearch", "read_flo", "write_flo", "upscale_mv",
+            "calc_transfer_func", "histeq_global", "histeq_local_block",
+            "gaussian_pyramid",
+        ):
+            assert hasattr(compat, name), name
+
+    def test_cost_helpers_match_reference_math(self):
+        rng = np.random.default_rng(3)
+        p0 = rng.integers(0, 256, (5, 5)).astype(np.uint8)
+        p1 = rng.integers(0, 256, (5, 5)).astype(np.uint8)
+        f0, f1 = p0.astype(np.float32), p1.astype(np.float32)
+        assert compat.SAD(p0, p1) == float(np.abs(f0 - f1).sum())
+        assert compat.SSD(p0, p1) == float(((f0 - f1) ** 2).sum())
+        w = compat.gaussian2d((5, 5), 2.0)
+        # WSAD keeps the shipped np.dot-as-matmul quirk (fidelity note 9)
+        assert compat.WSAD(p0, p1) == pytest.approx(
+            float(np.abs(f0 @ w - f1 @ w).sum()), rel=1e-6
+        )
+
+    def test_get_region_padded_matches_zero_padded_gather(self, frames_gray):
+        g0 = frames_gray[0]
+        h, w = g0.shape
+        for (r, c) in ((0, 0), (2, 3), (h - 1, w - 1), (-2, 5), (h + 3, w + 3)):
+            size = 5
+            got = compat.get_region_padded(g0, r - 2, r + 3, c - 2, c + 3, size)
+            yy, xx = np.mgrid[r - 2 : r + 3, c - 2 : c + 3]
+            valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            want = np.where(
+                valid, g0[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)], 0
+            )
+            np.testing.assert_array_equal(got, want)
+
+    def test_reference_style_snippet_matches_oracle(self, frames_gray):
+        # the reference's own per-pixel search loop (me_pyramid.py:140-158)
+        # written against the compat names must agree with the oracle
+        g0 = frames_gray[0][:24, :32]
+        g1 = frames_gray[1][:24, :32]
+        want = oracle.estimate_motion_vector(g0, g1, 15, 5)
+        for (row, col) in ((0, 0), (5, 7), (23, 31), (12, 16)):
+            patch = compat.get_region_padded(
+                g0, row - 2, row + 3, col - 2, col + 3, 5
+            )
+            centerX, centerY = col, row
+            step = 15 // 2 - 5 // 2
+            while step >= 1:
+                sbs = 5 + step * 2
+                region = compat.get_region_padded(
+                    g1, centerY - sbs // 2, centerY + sbs // 2 + 1,
+                    centerX - sbs // 2, centerX + sbs // 2 + 1, sbs,
+                )
+                d = compat.get_displacement(patch, region, step)
+                centerX += d[1]
+                centerY += d[0]
+                step //= 2
+            assert (centerX - col, centerY - row) == tuple(
+                int(v) for v in want[row, col]
+            )
+
 
 class TestRaisrCompat:
     def test_upsample_api(self, lenna_gray):
