@@ -581,13 +581,14 @@ def _csc(img, mat) -> jnp.ndarray:
     return img @ m
 
 
-def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
+def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool, use_pallas: bool = True):
     """Pipeline after the cheap upscale: YUV -> hash -> filter -> uint8.
 
     ``up`` is the bilinear-upscaled float image in [0, 1], [H, W, C]
     (C=1 for gray). Split out so the spatially-sharded path
     (parallel/mesh.py) can feed a shard-local upscale computed at
-    global coordinates.
+    global coordinates. ``use_pallas=False`` forces the pure-XLA apply
+    (the scoped-vmem fallback route).
     """
     yuv = up if gray else _csc(up, oracle_raisr.RGB2YUV.T)
 
@@ -595,7 +596,7 @@ def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
         out = yuv if gray else _csc(yuv, oracle_raisr.YUV2RGB.T)
     else:
         ai, si, ci = hash_components(yuv[..., 0], cfg)
-        if jax.default_backend() == "tpu":
+        if use_pallas and jax.default_backend() == "tpu":
             # fused Pallas kernel: responses + one-hot select stay in
             # VMEM (the XLA path materializes ~GBs of [N, 216] tensors)
             from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
@@ -616,15 +617,15 @@ def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool):
     return out[..., 0] if gray else out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gray"))
-def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool):
+@functools.partial(jax.jit, static_argnames=("cfg", "gray", "use_pallas"))
+def _raisr_2d(img_u8, filters, cfg: RaisrConfig, gray: bool, use_pallas: bool = True):
     from oclcomputervision_tpu.ops.interpolation import _resize_plane
 
     x01 = img_u8.astype(jnp.float32) / 255.0
     h, w = x01.shape[:2]
     x3 = x01[..., None] if gray else x01
     up = _resize_plane(x3, (h * cfg.scale, w * cfg.scale), "bilinear")
-    return _raisr_post(up, filters, cfg, gray)
+    return _raisr_post(up, filters, cfg, gray, use_pallas)
 
 
 def raisr_upsample(
@@ -643,9 +644,31 @@ def raisr_upsample(
         # every XLA stage and the kernel grid - one compiled program,
         # 4 kernel launches per stack)
         nchan = 1 if gray else img.shape[-1]
-        if single:
-            return _raisr_planes_batched(img[None], filters, cfg, nchan)[0]
-        return _raisr_planes_batched(img, filters, cfg, nchan)
+        try:
+            if single:
+                return _raisr_planes_batched(img[None], filters, cfg, nchan)[0]
+            return _raisr_planes_batched(img, filters, cfg, nchan)
+        except Exception as e:  # Mosaic scoped-vmem OOM -> XLA twin
+            # the kernels' vmem budgets (_row_chunk / _hash_tile_h) are
+            # run-verified at the pinned geometries and assumed by
+            # monotonicity in between; if a future Mosaic version (or an
+            # unverified geometry) overflows at compile time, degrade to
+            # the XLA path instead of raising (ADVICE r2)
+            if "vmem" not in str(e).lower() and "scoped" not in str(e).lower():
+                raise
+            import warnings
+
+            warnings.warn(
+                "plane-native RAISR kernels exceeded scoped VMEM at this "
+                f"geometry ({img.shape}); falling back to the XLA path: {e}",
+                RuntimeWarning,
+            )
+            if single:
+                return _raisr_2d(img, filters, cfg, img.ndim == 2, use_pallas=False)
+            return jax.lax.map(
+                lambda x: _raisr_2d(x, filters, cfg, x.ndim == 2, use_pallas=False),
+                img,
+            )
     if single:
         return _raisr_2d(img, filters, cfg, img.ndim == 2)
     # batched legacy path
