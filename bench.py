@@ -60,14 +60,16 @@ def _measure(fn, make_buf, n_scan, rounds, jax, jnp):
     return times[len(times) // 2]
 
 
-def _emit(metric, mps):
+def _emit(metric, value, unit="megapixels/sec/chip", vs=None):
+    """One JSON line. ``vs`` defaults to value / the 1000 MP/s north-star
+    (BASELINE.json); quality metrics pass an explicit ratio."""
     print(
         json.dumps(
             {
                 "metric": metric,
-                "value": round(mps, 1),
-                "unit": "megapixels/sec/chip",
-                "vs_baseline": round(mps / 1000.0, 3),
+                "value": round(value, 3 if value < 100 else 1),
+                "unit": unit,
+                "vs_baseline": round(value / 1000.0 if vs is None else vs, 3),
             }
         ),
         flush=True,
@@ -135,12 +137,124 @@ def bench_raisr(jax, jnp):
     _emit("raisr_x2_throughput", batch * h * w * cfg.scale**2 / 1e6 / median_s)
 
 
+def bench_localeq(jax, jnp):
+    """BASELINE config 3: local-block (CLAHE-style) histeq, fused
+    direct-block Pallas kernels, 768x1280 @ 256x256 blocks."""
+    from oclcomputervision_tpu.ops.histeq import histeq_local_block
+
+    batch, h, w = 64, 768, 1280
+    n_scan, rounds = 8, 3
+    keys = jax.random.split(jax.random.PRNGKey(1), rounds + 1)
+    gen = jax.jit(
+        lambda k: jax.random.randint(
+            k, (n_scan, batch, h, w), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+    )
+    fn = lambda x, acc: acc + jnp.sum(
+        histeq_local_block(x, 0.5, 0.05, 3.0, (256, 256)), dtype=jnp.int32
+    )
+    median_s = _measure(fn, lambda r: gen(keys[r]), n_scan, rounds, jax, jnp)
+    print("localeq done", file=sys.stderr, flush=True)
+    _emit("histeq_local_block_throughput", batch * h * w / 1e6 / median_s)
+
+
+def bench_resize(jax, jnp):
+    """BASELINE config 2: bilinear/bicubic 1024^2 -> 2048^2 (output MP)."""
+    from oclcomputervision_tpu.ops.interpolation import resize_uint8
+
+    batch, h, w = 16, 1024, 1024
+    n_scan, rounds = 16, 3
+    keys = jax.random.split(jax.random.PRNGKey(2), 2 * (rounds + 1))
+    gen = jax.jit(
+        lambda k: jax.random.randint(
+            k, (n_scan, batch, h, w, 1), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+    )
+    for mi, method in enumerate(("bilinear", "bicubic")):
+        fn = lambda x, acc: acc + jnp.sum(
+            resize_uint8(x, (2 * h, 2 * w), method), dtype=jnp.int32
+        )
+        median_s = _measure(
+            fn, lambda r: gen(keys[mi * (rounds + 1) + r]), n_scan, rounds, jax, jnp
+        )
+        print(f"resize {method} done", file=sys.stderr, flush=True)
+        _emit(f"resize_{method}_2x_throughput", batch * h * w * 4 / 1e6 / median_s)
+
+
+def _me_frames(jnp):
+    import numpy as np
+
+    from oclcomputervision_tpu.utils import load_gray
+
+    g0 = load_gray("frame10.png")
+    g1 = load_gray("frame11.png")
+    return g0, g1
+
+
+def bench_me(jax, jnp):
+    """BASELINE config 4: dense block-matching ME at VGA (input MP/s of
+    frame pairs), fast (masked-shift warp) and exact (S-map) modes."""
+    import numpy as np
+
+    from oclcomputervision_tpu.ops.motion import estimate_motion_vector
+
+    g0, g1 = _me_frames(jnp)
+    h, w = g0.shape
+    rng = np.random.default_rng(0)
+
+    for mode, batch, n_scan in (("fast", 16, 8), ("exact", 8, 4)):
+        def make_buf(r):
+            # unique content: additive noise over the Middlebury pair
+            stack0, stack1 = [], []
+            for j in range(n_scan):
+                n0 = rng.integers(-4, 5, (batch, h, w))
+                n1 = rng.integers(-4, 5, (batch, h, w))
+                stack0.append(np.clip(g0.astype(np.int16) + n0, 0, 255).astype(np.uint8))
+                stack1.append(np.clip(g1.astype(np.int16) + n1, 0, 255).astype(np.uint8))
+            return jnp.asarray(np.stack(stack0)), jnp.asarray(np.stack(stack1))
+
+        def fn(x, acc):
+            f0, f1 = x
+            mv = estimate_motion_vector(f0, f1, 15, 5, method=mode)
+            return acc + jnp.sum(mv, dtype=jnp.float32).astype(jnp.int32)
+
+        median_s = _measure(fn, make_buf, n_scan, 3, jax, jnp)
+        print(f"me {mode} done", file=sys.stderr, flush=True)
+        _emit(f"me_{mode}_throughput", batch * h * w / 1e6 / median_s)
+
+
+def bench_me_epe(jax, jnp):
+    """ME quality: endpoint error vs flow10.flo for the 3-level pyramid
+    (exact and fast modes, smooth=9). vs_baseline = zero-flow EPE / EPE
+    (improvement factor over predicting no motion)."""
+    import numpy as np
+
+    from oclcomputervision_tpu.ops.motion import estimate_motion_pyramid
+    from oclcomputervision_tpu.utils import read_flo
+    from oclcomputervision_tpu.utils.assets import asset_path
+    from oclcomputervision_tpu.utils.metrics import epe
+
+    g0, g1 = _me_frames(jnp)
+    gt = read_flo(asset_path("flow10.flo"))
+    zero = float(epe(np.zeros_like(gt), gt))
+    for mode in ("exact", "fast"):
+        flows = estimate_motion_pyramid(g0, g1, 3, method=mode, smooth=9)
+        e = float(epe(np.asarray(flows[-1]), gt))
+        _emit(f"me_{mode}_pyramid_epe", e, unit="px (lower is better)", vs=zero / e)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
 
+    # supporting metrics first; the two north-star lines stay at the
+    # tail (the driver parses from the end)
+    bench_localeq(jax, jnp)
+    bench_resize(jax, jnp)
+    bench_me(jax, jnp)
+    bench_me_epe(jax, jnp)
     bench_histeq(jax, jnp)
     bench_raisr(jax, jnp)
 

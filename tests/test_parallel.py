@@ -27,6 +27,26 @@ class TestDataParallel:
             want = np.asarray(ops_histeq.histeq_global(batch[i]))
             np.testing.assert_array_equal(got[i], want)
 
+    def test_batched_raisr_matches_single(self, mesh8, lenna_gray):
+        # dp-sharded RAISR inference: each device upsamples its batch
+        # shard through the full pipeline; outputs must be bit-identical
+        # to the unsharded batched call (VERDICT r2 item 6)
+        from oclcomputervision_tpu.models.raisr import train_filters
+        from oclcomputervision_tpu.ops.raisr import raisr_upsample
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        hr = lenna_gray[:96, :96]
+        filters = train_filters([hr], cfg, chunk=512)
+        lr = hr[::2, ::2].copy()
+        batch = np.stack([np.roll(lr, i, axis=1) for i in range(8)])
+        fn = parallel.data_parallel(
+            lambda b: raisr_upsample(b, filters, cfg), mesh8, "data"
+        )
+        got = np.asarray(jax.jit(fn)(batch))
+        want = np.asarray(raisr_upsample(batch, filters, cfg))
+        np.testing.assert_array_equal(got, want)
+
 
 class TestSpatialSharding:
     def test_row_sharded_histeq_matches_single_device(self, mesh8, under_exposure_gray):
