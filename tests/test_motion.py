@@ -84,15 +84,77 @@ class TestOpsVsOracle:
 
     @pytest.mark.parametrize("seed_mode", ["shipped", "fixed"])
     def test_with_seed_bitexact(self, frames_gray, seed_mode):
+        # routes through the seeded S-map path (seed_bound='auto' = 8
+        # covers these seeds); must be bit-identical to the oracle
         g0, g1 = frames_gray
         f0 = g0[100:148, 200:264]
         f1 = g1[100:148, 200:264]
         rng = np.random.default_rng(3)
-        seed = rng.uniform(-3, 3, size=f0.shape + (2,)).astype(np.float32)
+        seed = rng.uniform(-7.9, 7.9, size=f0.shape + (2,)).astype(np.float32)
         want = onp.estimate_motion_vector(f0, f1, 15, 5, seed=seed, seed_mode=seed_mode)
         got = np.asarray(
             ops.estimate_motion_vector(f0, f1, 15, 5, seed=seed, seed_mode=seed_mode)
         )
+        np.testing.assert_array_equal(got, want)
+
+    def test_with_seed_windowed_path_bitexact(self, frames_gray):
+        # seed_bound='none' keeps the unbounded windowed-gather search
+        g0, g1 = frames_gray
+        f0 = g0[100:132, 200:240]
+        f1 = g1[100:132, 200:240]
+        rng = np.random.default_rng(8)
+        seed = rng.uniform(-12, 12, size=f0.shape + (2,)).astype(np.float32)
+        want = onp.estimate_motion_vector(f0, f1, 15, 5, seed=seed, seed_mode="fixed")
+        got = np.asarray(
+            ops.estimate_motion_vector(
+                f0, f1, 15, 5, seed=seed, seed_mode="fixed", seed_bound="none"
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_seed_bound_auto_adapts_to_concrete_seed(self, frames_gray):
+        # 'auto' sizes the bound from the concrete seed (quantized):
+        # a 14 px seed selects B=16, stays unclamped, and matches the
+        # oracle bit-exactly with no warning
+        import warnings
+
+        g0, g1 = frames_gray
+        f0 = g0[100:148, 200:264]
+        f1 = g1[100:148, 200:264]
+        rng = np.random.default_rng(9)
+        seed = rng.uniform(-14, 14, size=f0.shape + (2,)).astype(np.float32)
+        want = onp.estimate_motion_vector(f0, f1, 15, 5, seed=seed, seed_mode="fixed")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = np.asarray(
+                ops.estimate_motion_vector(
+                    f0, f1, 15, 5, seed=seed, seed_mode="fixed", method="exact"
+                )
+            )
+        np.testing.assert_array_equal(got, want)
+
+    def test_seed_bound_saturation_warns_and_matches_clamped_oracle(
+        self, frames_gray
+    ):
+        # beyond the 16 px 'auto' cap the base clamps with a warning,
+        # and the result equals the oracle on the clamped seed (the
+        # saturation contract)
+        g0, g1 = frames_gray
+        f0 = g0[100:148, 200:264]
+        f1 = g1[100:148, 200:264]
+        rng = np.random.default_rng(9)
+        seed = rng.uniform(-25, 25, size=f0.shape + (2,)).astype(np.float32)
+        tr = np.trunc(seed)
+        clamped = np.clip(tr, -16, 16) + (seed - tr)
+        want = onp.estimate_motion_vector(
+            f0, f1, 15, 5, seed=clamped, seed_mode="fixed"
+        )
+        with pytest.warns(RuntimeWarning, match="seed_bound=16"):
+            got = np.asarray(
+                ops.estimate_motion_vector(
+                    f0, f1, 15, 5, seed=seed, seed_mode="fixed", method="exact"
+                )
+            )
         np.testing.assert_array_equal(got, want)
 
     def test_upscale_mv_matches_oracle(self):
