@@ -108,12 +108,31 @@ def _tap_tables(fl: int, s: int, py: int, px: int, hp: int):
     return tap_plane, tap_off
 
 
-def _make_kernel(fl: int, s: int, py: int, px: int, w2: int, hp: int):
+def _make_kernel(
+    fl: int, s: int, py: int, px: int, w2: int, hp: int, variant: str = "g4"
+):
     n_taps = fl * fl
     rc = _row_chunk(w2)
     tap_plane, tap_off = _tap_tables(fl, s, py, px, hp)
+    groups = {"g2": 2, "g2bf": 2, "g4": 4, "g4bf": 4, "g8": 8, "g4w": 4}.get(
+        variant, 1
+    )
+    # column groups slice lanes: degrade to the largest group count
+    # whose slices stay 128-lane-aligned at this width
+    while groups > 1 and w2 % (groups * 128) != 0:
+        groups //= 2
+    sel_dt = jnp.bfloat16 if variant.endswith("bf") else jnp.float32
+    # 'g4w': cast the whole plane band to bf16 ONCE per tile, so the
+    # 121 per-chunk tap copies move half the bytes with aligned reads
+    wide_cast = variant == "g4w"
+    # diagnostic variants (WRONG RESULTS - timing isolation only):
+    # 'notaps' skips the tap-matrix build, 'nosel' replaces the one-hot
+    # select with a raw resp-row store
+    diag_notaps = variant == "notaps"
+    diag_nosel = variant == "nosel"
 
-    def kernel(bucket_ref, wmat_ref, planes_hbm, out_ref, buf, pm_buf, sems):
+    def kernel(bucket_ref, wmat_ref, planes_hbm, out_ref, buf, pm_buf, sems,
+               *maybe_buf16):
         bi = pl.program_id(0)  # batch image
         i = pl.program_id(1)  # row tile
         # DMA the parity planes' row band (TILE_H + halo) into VMEM
@@ -132,45 +151,98 @@ def _make_kernel(fl: int, s: int, py: int, px: int, w2: int, hp: int):
 
         wmat = wmat_ref[:]  # [NB_PAD, 128] bf16
         nbit = jax.lax.broadcasted_iota(jnp.int32, (NB_PAD, 1), 0)
+        nbit_s = nbit.astype(sel_dt)
+
+        if wide_cast:
+            # one aligned band-wide cast; tap copies then move bf16
+            buf16 = maybe_buf16[0]
+            for p in range(s * s):
+                buf16[p] = buf[p].astype(jnp.bfloat16)
+            tap_src = buf16
+        else:
+            tap_src = buf
 
         # zero the tap-pad rows once (scratch is uninitialized; 0 * NaN
         # would poison the matmul even though wmat's pad columns are 0)
         for q in range(n_taps, 128):
             pm_buf[q] = jnp.zeros((rc, w2), jnp.bfloat16)
 
+        def select_rows(resp, r0, rows, c0, cols):
+            # out[r] = resp[bucket[r], :] via one-hot row reduction; the
+            # bucket ids (< 216) are exact in bf16, so the compare and
+            # masked reduce can run in the narrow type (half the vregs)
+            if diag_nosel:
+                for r in range(rows):
+                    out_ref[0, pl.ds(r0 + r, 1), pl.ds(c0, cols)] = (
+                        resp[0:1, r * cols : (r + 1) * cols].astype(jnp.float32)
+                    )
+                return
+            for r in range(rows):
+                brow = bucket_ref[0, pl.ds(r0 + r, 1), pl.ds(c0, cols)]
+                oh = (brow.astype(sel_dt) == nbit_s).astype(sel_dt)
+                # the reduce stays in sel_dt: one-hot masking leaves a
+                # single nonzero per column, so narrow adds are exact
+                out_ref[0, pl.ds(r0 + r, 1), pl.ds(c0, cols)] = jnp.sum(
+                    oh * resp[:, r * cols : (r + 1) * cols], axis=0,
+                    keepdims=True,
+                ).astype(jnp.float32)
+
         # fully static unrolled: Mosaic rejects dynamic sublane indices
         # that are not provably 8-aligned (the +roff tap offsets aren't)
         for ci in range(TILE_H // rc):
             r0 = ci * rc
             # tap matrix: Pm[q, r, :] = plane[tap_plane[q]][r0+r+roff, coff:coff+w2]
-            for q in range(n_taps):
-                roff, coff = tap_off[q]
-                pm_buf[q] = buf[
-                    tap_plane[q], pl.ds(r0 + roff, rc), pl.ds(coff, w2)
-                ].astype(jnp.bfloat16)
+            if diag_notaps:
+                if ci == 0:
+                    for q in range(n_taps):
+                        pm_buf[q] = jnp.zeros((rc, w2), jnp.bfloat16)
+            else:
+                for q in range(n_taps):
+                    roff, coff = tap_off[q]
+                    pm_buf[q] = tap_src[
+                        tap_plane[q], pl.ds(r0 + roff, rc), pl.ds(coff, w2)
+                    ].astype(jnp.bfloat16)
 
-            resp = jax.lax.dot_general(
-                wmat,
-                pm_buf[:].reshape(128, rc * w2),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [NB_PAD, rc*w2]
-            # (a bf16 select variant measured a wash end-to-end - the
-            # per-row one-hot select is not the phase bottleneck)
-            for r in range(rc):
-                brow = bucket_ref[0, pl.ds(r0 + r, 1), :]  # [1, w2] int32
-                oh = (brow == nbit).astype(jnp.float32)
-                out_ref[0, pl.ds(r0 + r, 1), :] = jnp.sum(
-                    oh * resp[:, r * w2 : (r + 1) * w2], axis=0, keepdims=True
-                )
+            if groups == 1:
+                resp = jax.lax.dot_general(
+                    wmat,
+                    pm_buf[:].reshape(128, rc * w2),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [NB_PAD, rc*w2]
+                select_rows(resp, r0, rc, 0, w2)
+            else:
+                # column-group software pipeline: issue group g+1's
+                # matmul before selecting group g, so the one-hot
+                # reduce (VPU) runs while the MXU drains the next group
+                wg = w2 // groups
+                pm3 = pm_buf[:]  # [128, rc, w2]
+                resps = []
+                for g in range(groups):
+                    # Mosaic requires a 32-bit matmul accumulator; the
+                    # bf16 variant narrows AFTER (one cast pass halves
+                    # every subsequent select read)
+                    resps.append(
+                        jax.lax.dot_general(
+                            wmat,
+                            pm3[:, :, g * wg : (g + 1) * wg].reshape(128, rc * wg),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(sel_dt)
+                    )
+                    if g > 0:
+                        select_rows(resps[g - 1], r0, rc, (g - 1) * wg, wg)
+                select_rows(resps[-1], r0, rc, (groups - 1) * wg, wg)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fl", "s", "py", "px", "hp", "interpret")
+    jax.jit, static_argnames=("fl", "s", "py", "px", "hp", "interpret", "variant")
 )
-def _apply_phase(planes, bucket_t, wmat, fl, s, py, px, hp, interpret=False):
+def _apply_phase(
+    planes, bucket_t, wmat, fl, s, py, px, hp, interpret=False, variant=None
+):
     """planes [B, s*s, h2+HALO, w2+128] f32 (origin (hp, hp)), bucket_t
     [B, h2, w2] i32, wmat [NB_PAD, 128] bf16 -> out [B, h2, w2] f32.
 
@@ -182,7 +254,13 @@ def _apply_phase(planes, bucket_t, wmat, fl, s, py, px, hp, interpret=False):
     nimg = planes.shape[0]
     assert nimg % nb == 0, (nimg, nb)
     assert 2 * hp <= HALO_ROWS, (hp, HALO_ROWS)
-    kernel = _make_kernel(fl, s, py, px, w2, hp)
+    if variant is None:
+        # hardware default: the column-group software pipeline (22%
+        # faster, bit-exact - see ROADMAP measurements); interpret mode
+        # keeps the straight-line kernel (the grouped unroll is ~2x
+        # slower under the interpreter and numerically identical)
+        variant = "base" if interpret else "g4"
+    kernel = _make_kernel(fl, s, py, px, w2, hp, variant)
     return pl.pallas_call(
         kernel,
         grid=(nimg, h2 // TILE_H),
@@ -204,12 +282,19 @@ def _apply_phase(planes, bucket_t, wmat, fl, s, py, px, hp, interpret=False):
             pltpu.VMEM((s * s, TILE_H + HALO_ROWS, planes.shape[3]), jnp.float32),
             pltpu.VMEM((128, _row_chunk(w2), w2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((s * s,)),
-        ],
+        ]
+        + (
+            [pltpu.VMEM(
+                (s * s, TILE_H + HALO_ROWS, planes.shape[3]), jnp.bfloat16
+            )]
+            if variant == "g4w"
+            else []
+        ),
         interpret=interpret,
     )(bucket_t, wmat, planes)
 
 
-def _make_hash_kernel(cfg, w2p: int, wq: int):
+def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
     """Plane-space RAISR hash (raisr.cl stages 4-5) as one VMEM-resident
     kernel: Sobel gradients, 9x9 separable structure-tensor blur, eigen
     analysis, and (angle, strength, coherence) bucketing - per row band,
@@ -298,20 +383,60 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
             t3[1, p_src] = gx * gy
             t3[2, p_src] = gy * gy
 
+        if angle_mode == "diag_s1":  # timing isolation: gradients only
+            for p_out in range(s * s):
+                out_ref[0, p_out] = t3[
+                    0, p_out, pl.ds(bh, th), pl.ds(bh, w2p)
+                ].astype(jnp.int32)
+            return
+
         # stage 2: vertical blur for every (out-row-phase, src-col-phase)
         # pair - the horizontal pass mixes column phases, so each column
         # phase's vertical result must be kept
+        sym = angle_mode == "ratio_sym"
         for a_out in range(s):
             for b_src in range(s):
                 for t in range(3):
                     vp = None
-                    for u in range(cfg.gauss_len):
-                        a2, ro = (a_out + u - g) % s, (a_out + u - g) // s
-                        term = k1[u] * t3[
-                            t, a2 * s + b_src, pl.ds(bh + ro, th), :
-                        ]
-                        vp = term if vp is None else vp + term
+                    if sym:
+                        # the Gaussian is symmetric (k1[u] == k1[n-1-u]):
+                        # pre-adding mirror taps halves the multiplies.
+                        # (a+b)*k rounds differently from a*k + b*k, so
+                        # only boundary-adjacent buckets can flip -
+                        # agreement recorded in ROADMAP.
+                        terms = []
+                        n = cfg.gauss_len
+                        for u in range(n // 2):
+                            a2a, roa = (a_out + u - g) % s, (a_out + u - g) // s
+                            a2b, rob = (
+                                (a_out + n - 1 - u - g) % s,
+                                (a_out + n - 1 - u - g) // s,
+                            )
+                            pair = (
+                                t3[t, a2a * s + b_src, pl.ds(bh + roa, th), :]
+                                + t3[t, a2b * s + b_src, pl.ds(bh + rob, th), :]
+                            )
+                            terms.append(k1[u] * pair)
+                        a2c, roc = a_out % s, a_out // s  # center tap u = g
+                        terms.append(
+                            k1[g]
+                            * t3[t, a2c * s + b_src, pl.ds(bh + roc, th), :]
+                        )
+                        for term in terms:
+                            vp = term if vp is None else vp + term
+                    else:
+                        for u in range(cfg.gauss_len):
+                            a2, ro = (a_out + u - g) % s, (a_out + u - g) // s
+                            term = k1[u] * t3[
+                                t, a2 * s + b_src, pl.ds(bh + ro, th), :
+                            ]
+                            vp = term if vp is None else vp + term
                     vbuf[t, a_out * s + b_src] = vp
+
+        if angle_mode == "diag_s12":  # timing isolation: skip stage 3
+            for p_out in range(s * s):
+                out_ref[0, p_out] = vbuf[0, p_out, :, :w2p].astype(jnp.int32)
+            return
 
         # stage 3: horizontal blur + eigen + bucket, per output phase
         for p_out in range(s * s):
@@ -319,14 +444,36 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
             abd = []
             for t in range(3):
                 hp_acc = None
-                for u in range(cfg.gauss_len):
-                    b2, co = (b + u - g) % s, (b + u - g) // s
-                    term = k1[u] * vbuf[
-                        t, a * s + b2, :, pl.ds(bh + co, w2p)
+                if sym:
+                    n = cfg.gauss_len
+                    for u in range(n // 2):
+                        b2a, coa = (b + u - g) % s, (b + u - g) // s
+                        b2b, cob = (
+                            (b + n - 1 - u - g) % s,
+                            (b + n - 1 - u - g) // s,
+                        )
+                        pair = (
+                            vbuf[t, a * s + b2a, :, pl.ds(bh + coa, w2p)]
+                            + vbuf[t, a * s + b2b, :, pl.ds(bh + cob, w2p)]
+                        )
+                        term = k1[u] * pair
+                        hp_acc = term if hp_acc is None else hp_acc + term
+                    hp_acc = hp_acc + k1[g] * vbuf[
+                        t, a * s + b % s, :, pl.ds(bh + b // s, w2p)
                     ]
-                    hp_acc = term if hp_acc is None else hp_acc + term
+                else:
+                    for u in range(cfg.gauss_len):
+                        b2, co = (b + u - g) % s, (b + u - g) // s
+                        term = k1[u] * vbuf[
+                            t, a * s + b2, :, pl.ds(bh + co, w2p)
+                        ]
+                        hp_acc = term if hp_acc is None else hp_acc + term
                 abd.append(hp_acc)
             ta, tb, td = abd
+
+            if angle_mode == "diag_noeig":  # timing isolation: blur only
+                out_ref[0, p_out] = (ta + tb + td).astype(jnp.int32)
+                continue
 
             tr = ta + td
             det = ta * td - tb * tb
@@ -340,8 +487,28 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
             u2 = jnp.where(flip, -uu, uu)
             v2 = jnp.where(flip, -tb, tb)
             aidx = jnp.zeros_like(uu, dtype=jnp.int32)
-            for ck, sk in bounds:
-                aidx = aidx + (v2 * ck - u2 * sk > 0.0).astype(jnp.int32)
+            if angle_mode in ("ratio", "ratio_sym"):
+                # one division turns each boundary test into a single
+                # compare: theta >= a_k  <=>  u2/v2 < cot(a_k) on the
+                # open upper half-plane (v2 > 0; sin(a_k) > 0 for all
+                # interior boundaries). v2 == 0 collapses to the sign
+                # of u2: +inf ratio -> bucket 0 (u2 > 0), -inf ->
+                # NA-1 (u2 < 0), and the zero vector -> bucket 0 -
+                # reproduced by substituting +/-inf for the ratio.
+                # Cuts the angle stage from ~5 ops/boundary to 1; only
+                # pixels within fp rounding of a boundary can differ
+                # from the half-plane form (measured agreement
+                # recorded in ROADMAP).
+                r = jnp.where(
+                    v2 > 0.0,
+                    u2 / jnp.where(v2 > 0.0, v2, 1.0),
+                    jnp.where(u2 < 0.0, -jnp.inf, jnp.inf),
+                )
+                for ck, sk in bounds:
+                    aidx = aidx + (r < ck / sk).astype(jnp.int32)
+            else:
+                for ck, sk in bounds:
+                    aidx = aidx + (v2 * ck - u2 * sk > 0.0).astype(jnp.int32)
 
             sidx = jnp.zeros_like(aidx)
             for q in squant:
@@ -364,8 +531,13 @@ def _make_hash_kernel(cfg, w2p: int, wq: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "h2p"))
-def hash_planes_pallas(planes, cfg, interpret: bool = False, h2p: int | None = None):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "h2p", "angle_mode")
+)
+def hash_planes_pallas(
+    planes, cfg, interpret: bool = False, h2p: int | None = None,
+    angle_mode: str = "ratio_sym",
+):
     """Bucket planes [B, s*s, h2p, w2p] int32 from upscale planes
     [B, s*s, >= h2p + HALO_ROWS, w2p + 128] f32 (origin-aligned; rows
     past h2p + HALO_ROWS - e.g. the Pallas upscale kernel's zero tail -
@@ -383,7 +555,7 @@ def hash_planes_pallas(planes, cfg, interpret: bool = False, h2p: int | None = N
             f"no hash tile fits scoped vmem at scale {s}, plane width "
             f"{w2p}; use ops.raisr.hash_planes (the dispatcher does)"
         )
-    kernel = _make_hash_kernel(cfg, w2p, wq)
+    kernel = _make_hash_kernel(cfg, w2p, wq, angle_mode)
     return pl.pallas_call(
         kernel,
         grid=(nb, h2p // _hash_tile_h(w2p, s)),

@@ -307,6 +307,33 @@ class TestUpscalePlanesKernel:
             assert not np.any(got[:, :, hq:])
 
 
+class TestHashKernel:
+    def test_hash_pallas_agrees_with_xla_twin(self, lenna_gray):
+        # the Pallas hash (default ratio_sym bucketing: one division per
+        # boundary + symmetric-pair blur) vs the XLA hash_planes twin -
+        # only fp-rounding-adjacent quantizer edges may differ
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            HALO_ROWS, hash_planes_pallas, plane_halo,
+        )
+        from oclcomputervision_tpu.ops.pallas.upscale_pallas import (
+            upscale_planes_pallas,
+        )
+        from oclcomputervision_tpu.ops.raisr import hash_planes
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        hp = plane_halo(cfg.filter_len, cfg.scale, cfg.gauss_len)
+        img = lenna_gray[:256, :256].astype(np.float32) / 255.0
+        h2p = w2p = 256
+        hq, wq = h2p + HALO_ROWS, w2p + 128
+        planes = upscale_planes_pallas(jnp.asarray(img[None]), cfg, hq, wq, hp, True)
+        got = np.asarray(hash_planes_pallas(planes, cfg, True, h2p=h2p))
+        want = np.asarray(hash_planes(planes, cfg, hp, h2p, w2p))
+        assert (got == want).mean() > 0.9999
+
+
 class TestHashTileRule:
     def test_budget_rule_matches_verified_points(self):
         # pin the empirically-verified scoped-vmem fit points (OOM data
