@@ -146,9 +146,16 @@ def histeq_local_block(
             "local histogram equalization (block-based) took GPU: {:.3f} ms".format(ms)
         )
         return np.asarray(out)
-    return oracle.histeq_local_block(
+    out = oracle.histeq_local_block(
         np.array(gray), alpha, punch, clip, blockshape
     )
+    # the reference's CPU path mutates its input IN PLACE and returns it
+    # (eq_local_block.py:41-76's gray[i, j] = v1); reproduce that
+    # observable contract for writable ndarray inputs
+    if isinstance(gray, np.ndarray) and gray.flags.writeable:
+        gray[...] = out
+        return gray
+    return out
 
 
 def gaussian_pyramid(img, scale=2, depth=3):
