@@ -251,7 +251,11 @@ def _estimate_2d_smap_seeded(
       lax.scan into a stacked [nmaps, H, W] tensor and the per-round
       selections are scans with jnp.take slabs, keeping the HLO graph
       a few hundred ops (a fully unrolled build measured ~100 s of
-      compile). At VGA/B=8 the stack is ~1.3 GB of int32 in HBM - the
+      compile); per-iteration slabs are CONTIGUOUS dynamic_slices (the
+      base range is contiguous, so the per-round sets are integer
+      ranges - jnp.take with an index vector lowered to mini-gathers
+      ~50x slower). SAD maps are int16 (patch sums <= 6375), halving
+      stack traffic; at VGA/B=16 the stack is ~0.7 GB in HBM - the
       dispatcher falls back to the windowed gather above a size budget.
 
     Integer addition commutes exactly and candidate order is row-major
@@ -275,31 +279,41 @@ def _estimate_2d_smap_seeded(
     f1e = jnp.pad(gray1.astype(jnp.int32), pad1)
     he, we = h + 2 * pm, w + 2 * pm
 
-    # all (2*vmax+1)^2 shifted cost maps via ONE scan (a fully unrolled
-    # build measured ~100 s of compile; the scan body is ~15 ops)
-    def build(_, vyx):
-        vy, vx = vyx[0], vyx[1]
-        sl = jax.lax.dynamic_slice(
-            f1e, (pad1 - pm + vy, pad1 - pm + vx), (he, we)
-        )
-        if costfn == "sad":
-            d = jnp.abs(f0e - sl)
-        else:  # 'ssd' (dispatcher falls back for WSAD)
-            d = (f0e - sl) * (f0e - sl)
-        v = jnp.zeros((h, we), jnp.int32)
-        for k in range(patch_size):
-            v = v + jax.lax.slice(d, (k, 0), (k + h, we))
-        sm = jnp.zeros((h, w), jnp.int32)
-        for k in range(patch_size):
-            sm = sm + jax.lax.slice(v, (0, k), (h, k + w))
-        return 0, sm
+    # SAD patch sums fit int16 (<= patch^2 * 255 = 6375): halving the
+    # map dtype halves the stack's HBM traffic and the VPU vregs of
+    # every masked select (SSD sums can reach 25*255^2 - int32 there)
+    map_dt = jnp.int16 if costfn == "sad" and patch_size <= 16 else jnp.int32
 
-    shifts = np.stack(
-        np.meshgrid(np.arange(-vmax, vmax + 1), np.arange(-vmax, vmax + 1),
-                    indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 2).astype(np.int32)
-    _, smap_stack = jax.lax.scan(build, 0, jnp.asarray(shifts))  # [nper^2, h, w]
+    # all (2*vmax+1)^2 shifted cost maps, ONE scan iteration per ROW of
+    # shifts (a per-map scan paid ~0.2 ms of while-iteration overhead
+    # x 2401 maps; a fully unrolled build measured ~100 s of compile -
+    # row chunking gets both: ~50 iterations of a ~600-op body)
+    def build_row(_, vy):
+        rows = jax.lax.dynamic_slice(
+            f1e, (pad1 - pm + vy, 0), (he, w + 2 * pad1)
+        )
+        row_maps = []
+        for vx in range(-vmax, vmax + 1):  # static unroll
+            sl = jax.lax.slice(
+                rows, (0, pad1 - pm + vx), (he, pad1 - pm + vx + we)
+            )
+            if costfn == "sad":
+                d = jnp.abs(f0e - sl)
+            else:  # 'ssd' (dispatcher falls back for WSAD)
+                d = (f0e - sl) * (f0e - sl)
+            v = jnp.zeros((h, we), jnp.int32)
+            for k in range(patch_size):
+                v = v + jax.lax.slice(d, (k, 0), (k + h, we))
+            sm = jnp.zeros((h, w), jnp.int32)
+            for k in range(patch_size):
+                sm = sm + jax.lax.slice(v, (0, k), (h, k + w))
+            row_maps.append(sm.astype(map_dt))
+        return 0, jnp.stack(row_maps)
+
+    _, smap_stack = jax.lax.scan(
+        build_row, 0, jnp.arange(-vmax, vmax + 1, dtype=jnp.int32)
+    )  # [nper, nper, h, w]
+    smap_stack = smap_stack.reshape(nper * nper, h, w)
 
     seed_u = seed[..., 0].astype(jnp.float32)
     seed_v = seed[..., 1].astype(jnp.float32)
@@ -310,53 +324,53 @@ def _estimate_2d_smap_seeded(
         aset = sorted({vb + v for vb in range(-B, B + 1) for v in vals})
         offs = (-st, 0, st)
         xneed = sorted({vx + o for vx in aset for o in offs})
-        xpos = {v: j for j, v in enumerate(xneed)}
         nx = len(xneed)
+        # the base range [-B, B] is contiguous, so aset and xneed are
+        # contiguous integer ranges - every per-iteration slab below is
+        # a contiguous dynamic_slice (full-bandwidth DMA; jnp.take with
+        # an index vector lowered to mini-gathers ~50x slower)
+        assert aset == list(range(aset[0], aset[-1] + 1))
+        assert xneed == list(range(xneed[0], xneed[-1] + 1))
 
-        # stage A (scan over row displacements): R[oi*nx + j] =
+        # stage A (scan over row displacements): R[oi, j] =
         # S_{ay + offs[oi], xneed[j]}
-        idx_a = np.array(
-            [
-                [
-                    (vy + oy + vmax) * nper + (vxp + vmax)
-                    for oy in offs
-                    for vxp in xneed
-                ]
-                for vy in aset
-            ],
-            np.int32,
-        )
-
-        def stage_a(acc, xs):
-            vy, ids = xs
-            slab = jnp.take(smap_stack, ids, axis=0)  # [3*nx, h, w]
-            return acc + jnp.where((ay == vy)[None], slab, 0), None
+        def stage_a(acc, vy):
+            m = (ay == vy)[None]
+            slabs = []
+            for oy in offs:  # static: 3 contiguous [nx, h, w] slabs
+                slabs.append(
+                    jax.lax.dynamic_slice(
+                        smap_stack,
+                        ((vy + oy + vmax) * nper + (xneed[0] + vmax), 0, 0),
+                        (nx, h, w),
+                    )
+                )
+            return acc + jnp.where(m[None], jnp.stack(slabs), 0), None
 
         r_sel, _ = jax.lax.scan(
             stage_a,
-            jnp.zeros((3 * nx, h, w), jnp.int32),
-            (jnp.asarray(aset, jnp.int32), jnp.asarray(idx_a)),
+            jnp.zeros((3, nx, h, w), map_dt),
+            jnp.asarray(aset, jnp.int32),
         )
 
         # stage B (scan over column displacements): costs in row-major
         # (oy, ox) candidate order - the oracle's tie-break order
-        idx_b = np.array(
-            [
-                [oi * nx + xpos[vx + ox] for oi in range(3) for ox in offs]
-                for vx in aset
-            ],
-            np.int32,
-        )
-
-        def stage_b(acc, xs):
-            vx, ids = xs
-            slab = jnp.take(r_sel, ids, axis=0)  # [9, h, w]
-            return acc + jnp.where((ax == vx)[None], slab, 0), None
+        def stage_b(acc, vx):
+            m = (ax == vx)[None]
+            slabs = []
+            for oi in range(3):
+                for ox in offs:
+                    slabs.append(
+                        jax.lax.dynamic_slice(
+                            r_sel, (oi, vx + ox - xneed[0], 0, 0), (1, 1, h, w)
+                        )[0]
+                    )
+            return acc + jnp.where(m, jnp.concatenate(slabs), 0), None
 
         costs, _ = jax.lax.scan(
             stage_b,
-            jnp.zeros((9, h, w), jnp.int32),
-            (jnp.asarray(aset, jnp.int32), jnp.asarray(idx_b)),
+            jnp.zeros((9, h, w), map_dt),
+            jnp.asarray(aset, jnp.int32),
         )
         best = jnp.argmin(costs, axis=0).astype(jnp.int32)
         ay = ay + (best // 3 - 1) * st
