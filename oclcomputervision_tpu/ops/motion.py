@@ -159,10 +159,12 @@ def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
       round r, candidate o: cost_o(p) = S_{d(p) + o*step}(p), selected
       by the (d == v) masks over the reachable set.
 
-    Everything is int32 adds of the same values the oracle sums (order
-    differs; integer addition commutes exactly), so the result is
-    BIT-IDENTICAL to oracle/motion.py including first-minimum
-    tie-breaking. ~380 displacement maps for the default 15/5 geometry.
+    Everything is integer adds of the same values the oracle sums
+    (order differs; integer addition commutes exactly), so the result
+    is BIT-IDENTICAL to oracle/motion.py including first-minimum
+    tie-breaking. ~380 displacement maps for the default 15/5 geometry;
+    SAD maps are int16 (patch sums <= 6375 - half the vregs of every
+    masked select).
     """
     h, w = gray0.shape
     pm = patch_size // 2
@@ -174,6 +176,7 @@ def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
         for v in vals
         for o in (-1, 0, 1)
     )
+    map_dt = jnp.int16 if costfn == "sad" and patch_size <= 16 else jnp.int32
     f0e = jnp.pad(gray0.astype(jnp.int32), pm)  # zeros (oracle padding)
     pad1 = pm + vmax
     f1e = jnp.pad(gray1.astype(jnp.int32), pad1)
@@ -198,8 +201,8 @@ def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
         s = jnp.zeros((h, w), jnp.int32)
         for k in range(patch_size):
             s = s + jax.lax.slice(v, (0, k), (h, k + w))
-        smaps[(vy, vx)] = s
-        return s
+        smaps[(vy, vx)] = s.astype(map_dt)
+        return smaps[(vy, vx)]
 
     dy = jnp.zeros((h, w), jnp.int32)
     dx = jnp.zeros((h, w), jnp.int32)
@@ -209,7 +212,7 @@ def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
         costs = []
         for oy in (-st, 0, st):
             for ox in (-st, 0, st):
-                acc = jnp.zeros((h, w), jnp.int32)
+                acc = jnp.zeros((h, w), map_dt)
                 for vy in vals:
                     for vx in vals:
                         acc = acc + jnp.where(
@@ -438,7 +441,12 @@ def _estimate_2d_fast(
 
     dy = jnp.trunc(seed_v).astype(jnp.int32)
     dx = jnp.trunc(seed_u).astype(jnp.int32)
-    f0 = gray0.astype(jnp.int32)
+    # int32 throughout: an int16 variant measured 3x SLOWER here (the
+    # VPU computes one int16 per 32-bit lane, so the narrow type only
+    # buys pack/unpack glue; it wins in the HBM-traffic-bound S-map
+    # paths, not in this VMEM-resident one)
+    pix_dt = jnp.int32
+    f0 = gray0.astype(pix_dt)
 
     def boxsum(img):
         # separable (2*pm+1)-tap sum with zero padding
@@ -491,15 +499,15 @@ def _estimate_2d_fast(
         else:
             base1 = gray1
         rb = sum(steps)  # exact residual bound (see docstring)
-        f1pad = jnp.pad(base1.astype(jnp.int32), rb)
+        f1pad = jnp.pad(base1.astype(pix_dt), rb)
 
     def warp(ry, rx):
         if warp_bound is None:
-            return _gather_padded_u8(gray1, ys + ry, xs + rx).astype(jnp.int32)
+            return _gather_padded_u8(gray1, ys + ry, xs + rx).astype(pix_dt)
         mx = [rx == v for v in range(-rb, rb + 1)]
-        w1 = jnp.zeros((h, w), jnp.int32)
+        w1 = jnp.zeros((h, w), pix_dt)
         for vy in range(-rb, rb + 1):
-            inner = jnp.zeros((h, w), jnp.int32)
+            inner = jnp.zeros((h, w), pix_dt)
             for ix, vx in enumerate(range(-rb, rb + 1)):
                 sl = jax.lax.slice(
                     f1pad, (rb + vy, rb + vx), (rb + vy + h, rb + vx + w)
