@@ -393,7 +393,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
         # stage 2: vertical blur for every (out-row-phase, src-col-phase)
         # pair - the horizontal pass mixes column phases, so each column
         # phase's vertical result must be kept
-        sym = angle_mode == "ratio_sym"
+        sym = angle_mode in ("ratio_sym", "ratio_sym_ps")
         for a_out in range(s):
             for b_src in range(s):
                 for t in range(3):
@@ -438,7 +438,25 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
                 out_ref[0, p_out] = vbuf[0, p_out, :, :w2p].astype(jnp.int32)
             return
 
-        # stage 3: horizontal blur + eigen + bucket, per output phase
+        # 'ratio_sym_ps': pre-materialize each distinct column-shifted
+        # vbuf slice once per output-row phase (the horizontal taps
+        # re-read the same (t, plane, co) lane-misaligned slice up to
+        # twice across the row's column phases; lane relayouts measured
+        # ~9x a sublane slice, so paying each once then reading aligned
+        # temps trims the blur's dominant term)
+        preshift = angle_mode == "ratio_sym_ps"
+        ps_cache = {}
+
+        def vslice(t, plane, co):
+            # traced ref loads are not CSE'd by Mosaic; caching the
+            # traced value pays each lane-misaligned slice once
+            if not preshift:
+                return vbuf[t, plane, :, pl.ds(bh + co, w2p)]
+            key = (t, plane, co)
+            if key not in ps_cache:
+                ps_cache[key] = vbuf[t, plane, :, pl.ds(bh + co, w2p)]
+            return ps_cache[key]
+
         for p_out in range(s * s):
             a, b = divmod(p_out, s)
             abd = []
@@ -452,21 +470,16 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
                             (b + n - 1 - u - g) % s,
                             (b + n - 1 - u - g) // s,
                         )
-                        pair = (
-                            vbuf[t, a * s + b2a, :, pl.ds(bh + coa, w2p)]
-                            + vbuf[t, a * s + b2b, :, pl.ds(bh + cob, w2p)]
+                        pair = vslice(t, a * s + b2a, coa) + vslice(
+                            t, a * s + b2b, cob
                         )
                         term = k1[u] * pair
                         hp_acc = term if hp_acc is None else hp_acc + term
-                    hp_acc = hp_acc + k1[g] * vbuf[
-                        t, a * s + b % s, :, pl.ds(bh + b // s, w2p)
-                    ]
+                    hp_acc = hp_acc + k1[g] * vslice(t, a * s + b % s, b // s)
                 else:
                     for u in range(cfg.gauss_len):
                         b2, co = (b + u - g) % s, (b + u - g) // s
-                        term = k1[u] * vbuf[
-                            t, a * s + b2, :, pl.ds(bh + co, w2p)
-                        ]
+                        term = k1[u] * vslice(t, a * s + b2, co)
                         hp_acc = term if hp_acc is None else hp_acc + term
                 abd.append(hp_acc)
             ta, tb, td = abd
