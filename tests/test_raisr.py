@@ -324,6 +324,51 @@ class TestScale3:
         assert m.filters.shape == (24 * 3 * 3 * 9, 11, 11)
 
 
+class TestVmemFallback:
+    def test_scoped_vmem_overflow_degrades_to_xla(
+        self, lenna_gray_mod, monkeypatch
+    ):
+        # an unverified geometry overflowing Mosaic scoped vmem must
+        # warn and fall back to the XLA path, not raise (ADVICE r2)
+        cfg = RaisrConfig(fidelity="full")
+        hr = lenna_gray_mod[:64, :64]
+        filters = train_filters([hr], cfg, chunk=256)
+        lr = hr[::2, ::2].copy()
+        want = np.asarray(ops.raisr_upsample(lr, filters, cfg))
+
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            ops,
+            "_raisr_planes_batched",
+            lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("RESOURCE_EXHAUSTED: scoped vmem limit")
+            ),
+        )
+        with pytest.warns(RuntimeWarning, match="scoped VMEM"):
+            got = ops.raisr_upsample(lr, filters, cfg)
+        # the fallback re-checks the backend inside _raisr_post; on the
+        # CPU test backend use_pallas=False routes to apply_filters_fast
+        # either way, so outputs must match the straight XLA result
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_unrelated_errors_still_raise(self, lenna_gray_mod, monkeypatch):
+        cfg = RaisrConfig(fidelity="full")
+        lr = lenna_gray_mod[:32, :32]
+
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            ops,
+            "_raisr_planes_batched",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            ops.raisr_upsample(lr, None, cfg)
+
+
 class TestShippedBankQuality:
     def test_x2_beats_bicubic_on_untouched_frame(self):
         # The quality gate under the honest protocol (VERDICT r2 item 3):
