@@ -74,7 +74,7 @@ def plane_halo(fl: int, s: int, gauss_len: int = 9) -> int:
     return max(-(-(fl // 2) // s), -(-(gauss_len // 2) // s) + 1)
 
 
-def _row_chunk(w2: int) -> int:
+def _row_chunk(w2: int, double_pm: bool = False) -> int:
     """Rows per tap-matrix/matmul chunk: largest power of two (<= 16)
     whose [NB_PAD, rc*w2] f32 response fits the scoped-vmem budget.
 
@@ -82,9 +82,13 @@ def _row_chunk(w2: int) -> int:
     14.7 MB response) measured 10.40 ms/phase vs 10.85 at rc=8 and
     16.0 at rc=4, and compiles despite the naive buffer sum exceeding
     16 MB (Mosaic streams the matmul output); the 15 MB cap admits
-    exactly the run-verified configs and everything strictly smaller."""
+    exactly the run-verified configs and everything strictly smaller.
+    Double-buffered-Pm variants charge both tap buffers against the
+    same cap (rc=8 at w2=1024), trading the measured ~4% rc=16 edge
+    for cross-chunk copy/matmul overlap."""
     rc = 16
-    while rc > 1 and NB_PAD * rc * w2 * 4 > 15 * 2**20:
+    pm_bytes = (2 * 128 * w2 * 2) if double_pm else 0
+    while rc > 1 and NB_PAD * rc * w2 * 4 + pm_bytes * rc > 15 * 2**20:
         rc //= 2
     return rc
 
@@ -114,9 +118,22 @@ def _make_kernel(
     n_taps = fl * fl
     rc = _row_chunk(w2)
     tap_plane, tap_off = _tap_tables(fl, s, py, px, hp)
-    groups = {"g2": 2, "g2bf": 2, "g4": 4, "g4bf": 4, "g8": 8, "g4w": 4}.get(
-        variant, 1
-    )
+    groups = {
+        "g2": 2, "g2bf": 2, "g4": 4, "g4bf": 4, "g8": 8, "g4w": 4,
+        "g4r": 4, "g8r": 8, "g4p": 4, "g8p": 8,
+    }.get(variant, 1)
+    # 'g4r'/'g8r': build each tap row band from an offset-0 full-width
+    # (lane-aligned) read + lane-rotate instead of a lane-misaligned
+    # slice; bit-identical elements (see the hash kernel's roll note).
+    # MEASURED NEGATIVE (ROADMAP): the tap cost is sublane relayout.
+    roll_taps = variant in ("g4r", "g8r")
+    # 'g4p'/'g8p': cross-chunk software pipeline - chunk ci+1's tap
+    # copies are issued between chunk ci's group matmuls into a SECOND
+    # disjoint Pm scratch, so the VPU copies can run under the MXU
+    # drain; rc shrinks to keep both buffers in the scoped-vmem budget
+    double_pm = variant in ("g4p", "g8p")
+    if double_pm:
+        rc = _row_chunk(w2, double_pm=True)
     # column groups slice lanes: degrade to the largest group count
     # whose slices stay 128-lane-aligned at this width
     while groups > 1 and w2 % (groups * 128) != 0:
@@ -164,8 +181,9 @@ def _make_kernel(
 
         # zero the tap-pad rows once (scratch is uninitialized; 0 * NaN
         # would poison the matmul even though wmat's pad columns are 0)
-        for q in range(n_taps, 128):
-            pm_buf[q] = jnp.zeros((rc, w2), jnp.bfloat16)
+        if not double_pm:
+            for q in range(n_taps, 128):
+                pm_buf[q] = jnp.zeros((rc, w2), jnp.bfloat16)
 
         def select_rows(resp, r0, rows, c0, cols):
             # out[r] = resp[bucket[r], :] via one-hot row reduction; the
@@ -187,6 +205,47 @@ def _make_kernel(
                     keepdims=True,
                 ).astype(jnp.float32)
 
+        if double_pm:
+            # cross-chunk pipeline over two DISJOINT Pm scratches (so
+            # Mosaic's alias analysis cannot serialize chunk ci+1's tap
+            # writes against chunk ci's loaded taps)
+            pm_bufs = (pm_buf, maybe_buf16[0])
+            for sl in range(2):
+                for q in range(n_taps, 128):
+                    pm_bufs[sl][q] = jnp.zeros((rc, w2), jnp.bfloat16)
+
+            def build_taps(sl, r0):
+                for q in range(n_taps):
+                    roff, coff = tap_off[q]
+                    pm_bufs[sl][q] = tap_src[
+                        tap_plane[q], pl.ds(r0 + roff, rc), pl.ds(coff, w2)
+                    ].astype(jnp.bfloat16)
+
+            nchunks = TILE_H // rc
+            wg = w2 // groups
+            build_taps(0, 0)
+            for ci in range(nchunks):
+                r0 = ci * rc
+                pm3 = pm_bufs[ci % 2][:]
+                resps = []
+                for g in range(groups):
+                    resps.append(
+                        jax.lax.dot_general(
+                            wmat,
+                            pm3[:, :, g * wg : (g + 1) * wg].reshape(128, rc * wg),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(sel_dt)
+                    )
+                    if g == 0 and ci + 1 < nchunks:
+                        # issue the NEXT chunk's tap copies while this
+                        # chunk's matmuls drain the MXU
+                        build_taps((ci + 1) % 2, r0 + rc)
+                    if g > 0:
+                        select_rows(resps[g - 1], r0, rc, (g - 1) * wg, wg)
+                select_rows(resps[-1], r0, rc, (groups - 1) * wg, wg)
+            return
+
         # fully static unrolled: Mosaic rejects dynamic sublane indices
         # that are not provably 8-aligned (the +roff tap offsets aren't)
         for ci in range(TILE_H // rc):
@@ -196,6 +255,14 @@ def _make_kernel(
                 if ci == 0:
                     for q in range(n_taps):
                         pm_buf[q] = jnp.zeros((rc, w2), jnp.bfloat16)
+            elif roll_taps:
+                wq_p = buf.shape[2]  # planes width (w2 + 128 by contract)
+                for q in range(n_taps):
+                    roff, coff = tap_off[q]
+                    src = tap_src[tap_plane[q], pl.ds(r0 + roff, rc), :]
+                    if coff:
+                        src = pltpu.roll(src, wq_p - coff, 1)
+                    pm_buf[q] = src[:, :w2].astype(jnp.bfloat16)
             else:
                 for q in range(n_taps):
                     roff, coff = tap_off[q]
@@ -280,7 +347,10 @@ def _apply_phase(
         out_shape=jax.ShapeDtypeStruct((nimg, h2, w2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((s * s, TILE_H + HALO_ROWS, planes.shape[3]), jnp.float32),
-            pltpu.VMEM((128, _row_chunk(w2), w2), jnp.bfloat16),
+            pltpu.VMEM(
+                (128, _row_chunk(w2, variant in ("g4p", "g8p")), w2),
+                jnp.bfloat16,
+            ),
             pltpu.SemaphoreType.DMA((s * s,)),
         ]
         + (
@@ -288,6 +358,14 @@ def _apply_phase(
                 (s * s, TILE_H + HALO_ROWS, planes.shape[3]), jnp.bfloat16
             )]
             if variant == "g4w"
+            else []
+        )
+        + (
+            # second disjoint Pm scratch for the cross-chunk pipeline
+            [pltpu.VMEM(
+                (128, _row_chunk(w2, True), w2), jnp.bfloat16
+            )]
+            if variant in ("g4p", "g8p")
             else []
         ),
         interpret=interpret,
@@ -324,6 +402,16 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
     k1 = [float(v) for v in _blur_k1(cfg)]
 
     ext_c = w2p + 2 * bh
+    # 'ratio_sym_roll': express every lane-misaligned column read as a
+    # lane-ROTATE of an offset-0 (aligned) read + aligned slice. The
+    # rotated elements are the same elements, so results are
+    # bit-identical to the slice form; the probe measured a roll at
+    # ~2x an aligned read vs ~9x for the misaligned slice it replaces
+    # (benchmarks/micro_probes.py shift).
+    lane_roll = angle_mode.endswith("_roll")
+    # roll mode pads the vbuf scratch width to a lane multiple so the
+    # stage-3 rotates act on whole vregs
+    vw = -(-ext_c // 128) * 128 if lane_roll else ext_c
     bounds = [
         (float(np.cos(np.pi * k / na)), float(np.sin(np.pi * k / na)))
         for k in range(1, na)
@@ -360,11 +448,19 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
             def rd(dr, dc):
                 a2, ro = (a + dr) % s, (a + dr) // s
                 b2, co = (b + dc) % s, (b + dc) // s
-                return buf[
-                    a2 * s + b2,
-                    pl.ds(hp - bh + ro, th + 2 * bh),
-                    pl.ds(hp - bh + co, ext_c),
-                ]
+                off = hp - bh + co
+                if not lane_roll or off == 0:
+                    return buf[
+                        a2 * s + b2,
+                        pl.ds(hp - bh + ro, th + 2 * bh),
+                        pl.ds(off, ext_c),
+                    ]
+                # rows sliced (sublane slices are cheap), full lanes read
+                # aligned, then rotated left by `off`: out[j] = in[j+off]
+                # for j < ext_c (off + ext_c <= wq, so no wrap reaches
+                # the slice)
+                full = buf[a2 * s + b2, pl.ds(hp - bh + ro, th + 2 * bh), :]
+                return pltpu.roll(full, wq - off, 1)[:, :ext_c]
 
             gx = None
             gy = None
@@ -393,7 +489,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
         # stage 2: vertical blur for every (out-row-phase, src-col-phase)
         # pair - the horizontal pass mixes column phases, so each column
         # phase's vertical result must be kept
-        sym = angle_mode in ("ratio_sym", "ratio_sym_ps")
+        sym = angle_mode in ("ratio_sym", "ratio_sym_ps", "ratio_sym_roll")
         for a_out in range(s):
             for b_src in range(s):
                 for t in range(3):
@@ -431,7 +527,11 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
                                 t, a2 * s + b_src, pl.ds(bh + ro, th), :
                             ]
                             vp = term if vp is None else vp + term
-                    vbuf[t, a_out * s + b_src] = vp
+                    if lane_roll:
+                        # padded scratch: store the ext_c valid columns
+                        vbuf[t, a_out * s + b_src, :, pl.ds(0, ext_c)] = vp
+                    else:
+                        vbuf[t, a_out * s + b_src] = vp
 
         if angle_mode == "diag_s12":  # timing isolation: skip stage 3
             for p_out in range(s * s):
@@ -450,6 +550,15 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
         def vslice(t, plane, co):
             # traced ref loads are not CSE'd by Mosaic; caching the
             # traced value pays each lane-misaligned slice once
+            off = bh + co
+            if lane_roll:
+                if off == 0:
+                    return vbuf[t, plane, :, pl.ds(0, w2p)]
+                # rotate left by `off` over the padded width, then take
+                # the aligned head; off + w2p <= ext_c so no wrap
+                # reaches the slice
+                full = vbuf[t, plane]
+                return pltpu.roll(full, vw - off, 1)[:, :w2p]
             if not preshift:
                 return vbuf[t, plane, :, pl.ds(bh + co, w2p)]
             key = (t, plane, co)
@@ -500,7 +609,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
             u2 = jnp.where(flip, -uu, uu)
             v2 = jnp.where(flip, -tb, tb)
             aidx = jnp.zeros_like(uu, dtype=jnp.int32)
-            if angle_mode in ("ratio", "ratio_sym"):
+            if angle_mode in ("ratio", "ratio_sym", "ratio_sym_roll"):
                 # one division turns each boundary test into a single
                 # compare: theta >= a_k  <=>  u2/v2 < cot(a_k) on the
                 # open upper half-plane (v2 > 0; sin(a_k) > 0 for all
@@ -549,7 +658,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
 )
 def hash_planes_pallas(
     planes, cfg, interpret: bool = False, h2p: int | None = None,
-    angle_mode: str = "ratio_sym",
+    angle_mode: str = "ratio_sym_roll",
 ):
     """Bucket planes [B, s*s, h2p, w2p] int32 from upscale planes
     [B, s*s, >= h2p + HALO_ROWS, w2p + 128] f32 (origin-aligned; rows
@@ -584,7 +693,18 @@ def hash_planes_pallas(
             pltpu.VMEM(
                 (3, s * s, _hash_tile_h(w2p, s) + 2 * bh, w2p + 2 * bh), jnp.float32
             ),
-            pltpu.VMEM((3, s * s, _hash_tile_h(w2p, s), w2p + 2 * bh), jnp.float32),
+            pltpu.VMEM(
+                (
+                    3,
+                    s * s,
+                    _hash_tile_h(w2p, s),
+                    # roll mode rotates whole vregs: lane-pad the width
+                    -(-(w2p + 2 * bh) // 128) * 128
+                    if angle_mode.endswith("_roll")
+                    else w2p + 2 * bh,
+                ),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((s * s,)),
         ],
         interpret=interpret,

@@ -309,9 +309,10 @@ class TestUpscalePlanesKernel:
 
 class TestHashKernel:
     def test_hash_pallas_agrees_with_xla_twin(self, lenna_gray):
-        # the Pallas hash (default ratio_sym bucketing: one division per
-        # boundary + symmetric-pair blur) vs the XLA hash_planes twin -
-        # only fp-rounding-adjacent quantizer edges may differ
+        # the Pallas hash (default ratio_sym_roll: one division per
+        # boundary + symmetric-pair blur + lane-rotate column reads) vs
+        # the XLA hash_planes twin - only fp-rounding-adjacent
+        # quantizer edges may differ
         import jax.numpy as jnp
 
         from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
@@ -332,6 +333,74 @@ class TestHashKernel:
         got = np.asarray(hash_planes_pallas(planes, cfg, True, h2p=h2p))
         want = np.asarray(hash_planes(planes, cfg, hp, h2p, w2p))
         assert (got == want).mean() > 0.9999
+
+    def test_roll_mode_bit_identical_to_slice_mode(self, lenna_gray):
+        # the default 'ratio_sym_roll' reads the SAME elements as
+        # 'ratio_sym' (lane rotate + aligned head slice vs misaligned
+        # slice), so its buckets must be bit-identical - this is what
+        # lets the faster form ship without a parity caveat
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            HALO_ROWS, hash_planes_pallas, plane_halo,
+        )
+        from oclcomputervision_tpu.ops.pallas.upscale_pallas import (
+            upscale_planes_pallas,
+        )
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        hp = plane_halo(cfg.filter_len, cfg.scale, cfg.gauss_len)
+        img = lenna_gray[:256, :256].astype(np.float32) / 255.0
+        h2p = w2p = 256
+        hq, wq = h2p + HALO_ROWS, w2p + 128
+        planes = upscale_planes_pallas(jnp.asarray(img[None]), cfg, hq, wq, hp, True)
+        a = np.asarray(
+            hash_planes_pallas(planes, cfg, True, h2p=h2p, angle_mode="ratio_sym")
+        )
+        b = np.asarray(
+            hash_planes_pallas(
+                planes, cfg, True, h2p=h2p, angle_mode="ratio_sym_roll"
+            )
+        )
+        assert (a == b).all()
+
+
+class TestApplyVariants:
+    @pytest.mark.parametrize("variant", ["g4", "g4r", "g4p"])
+    def test_variant_bit_identical_to_base(self, variant):
+        # every hardware variant (column-group pipeline, lane-roll taps,
+        # double-Pm pipeline) reorders work, never values: outputs must
+        # match the straight-line kernel bit for bit
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.pallas import raisr_pallas as rp
+
+        s, fl = 2, 11
+        hp = rp.plane_halo(fl, s)
+        rng = np.random.default_rng(7)
+        nimg, h2, w2 = 1, 128, 512
+        planes = jnp.asarray(
+            rng.random((nimg, s * s, h2 + rp.HALO_ROWS, w2 + 128), dtype=np.float32)
+        )
+        bucket = jnp.asarray(rng.integers(0, 216, (nimg, h2, w2)).astype(np.int32))
+        wm = rng.standard_normal((rp.NB_PAD, 128)).astype(np.float32) * 0.1
+        wm[216:] = 0
+        wm[:, fl * fl :] = 0
+        wmat = jnp.asarray(wm).astype(jnp.bfloat16)
+        base = np.asarray(
+            rp._apply_phase(
+                planes, bucket, wmat, fl, s, 0, 0, hp, interpret=True,
+                variant="base",
+            )
+        )
+        got = np.asarray(
+            rp._apply_phase(
+                planes, bucket, wmat, fl, s, 0, 0, hp, interpret=True,
+                variant=variant,
+            )
+        )
+        assert (got == base).all()
 
 
 class TestHashTileRule:
