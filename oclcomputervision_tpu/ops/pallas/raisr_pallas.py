@@ -322,11 +322,16 @@ def _apply_phase(
     assert nimg % nb == 0, (nimg, nb)
     assert 2 * hp <= HALO_ROWS, (hp, HALO_ROWS)
     if variant is None:
-        # hardware default: the column-group software pipeline (22%
-        # faster, bit-exact - see ROADMAP measurements); interpret mode
-        # keeps the straight-line kernel (the grouped unroll is ~2x
-        # slower under the interpreter and numerically identical)
-        variant = "base" if interpret else "g4"
+        # hardware default: the 8-column-group software pipeline (27%
+        # faster than base, 7% than g4, bit-exact - ROADMAP
+        # measurements; groups degrade to w2//128 at narrow widths).
+        # g8's Mosaic compile took 20 min once through a degraded
+        # remote-compile service (normally ~2 min; the persistent cache
+        # makes it one-time) - flip to "g4" if compile latency ever
+        # outweighs the 7%. Interpret mode keeps the straight-line
+        # kernel (the grouped unroll is ~2x slower under the
+        # interpreter and numerically identical)
+        variant = "base" if interpret else "g8"
     kernel = _make_kernel(fl, s, py, px, w2, hp, variant)
     return pl.pallas_call(
         kernel,
