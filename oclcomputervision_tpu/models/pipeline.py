@@ -25,6 +25,9 @@ class EnhanceConfig:
     equalize: str = "global"  # 'global' | 'local' | 'none'
     histeq: HistEqConfig = HistEqConfig()
     local: LocalHistEqConfig = LocalHistEqConfig()
+    # 'raisr' runs learned super-resolution after equalize (pass the
+    # trained RaisrModel to EnhancePipeline); 'none' skips it
+    superres: str = "none"
     # output size (H, W) after resize, None = keep
     resize_to: Optional[Tuple[int, int]] = None
     resize_method: str = "bicubic"
@@ -32,14 +35,29 @@ class EnhanceConfig:
 
 
 class EnhancePipeline:
-    """Compose equalize -> resize -> pyramid into one jitted program.
+    """Compose equalize -> superres -> resize -> pyramid into one
+    jitted program.
 
     Works on uint8 [H, W] or batched [B, H, W] luma stacks; the batch
     axis is the data-parallel axis for multi-chip execution.
     """
 
-    def __init__(self, cfg: EnhanceConfig = EnhanceConfig()):
+    def __init__(self, cfg: EnhanceConfig = EnhanceConfig(), raisr_model=None):
+        """``raisr_model``: a trained models.raisr.RaisrModel, required
+        when cfg.superres == 'raisr' (the filter bank rides the jitted
+        program as a captured constant, so one pipeline instance serves
+        one bank)."""
         self.cfg = cfg
+        if cfg.superres == "raisr":
+            if raisr_model is None or raisr_model.filters is None:
+                raise ValueError(
+                    "cfg.superres='raisr' needs a trained RaisrModel "
+                    "(EnhancePipeline(cfg, raisr_model=model))"
+                )
+            self._raisr_filters = jnp.asarray(raisr_model.filters, jnp.float32)
+            self._raisr_cfg = raisr_model.cfg
+        elif cfg.superres != "none":
+            raise ValueError(f"unknown superres mode {cfg.superres!r}")
         self._fn = jax.jit(self._build)
 
     def _build(self, gray: jnp.ndarray):
@@ -56,6 +74,11 @@ class EnhancePipeline:
         elif cfg.equalize == "local":
             l = cfg.local
             x = histeq_local_block(x, l.alpha, l.punch, l.clip, l.blockshape)
+        if cfg.superres == "raisr":
+            from oclcomputervision_tpu.ops.raisr import raisr_upsample
+
+            # plane-native Pallas pipeline; handles [H, W] and [B, H, W]
+            x = raisr_upsample(x, self._raisr_filters, self._raisr_cfg)
         if cfg.resize_to is not None:
             # resize() reads rank-3 as [H, W, C]; batched luma stacks
             # must map over the batch axis explicitly

@@ -213,6 +213,34 @@ class TestPipeline:
         single, _ = pipe(batch[0])
         np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(single))
 
+    def test_raisr_superres_pipeline(self, under_exposure_gray):
+        # equalize -> learned 2x SR fused in one jitted program; the
+        # result must match running the stages separately
+        from oclcomputervision_tpu.models.pipeline import EnhanceConfig, EnhancePipeline
+        from oclcomputervision_tpu.models.raisr import RaisrModel
+        from oclcomputervision_tpu.ops.histeq import histeq_global
+        from oclcomputervision_tpu.ops.raisr import raisr_upsample
+        from oclcomputervision_tpu.utils.assets import asset_path
+
+        model = RaisrModel.load(asset_path("raisr_filters_x2.npz"))
+        g = under_exposure_gray[:64, :128]
+        batch = np.stack([g, g[::-1].copy()])
+        pipe = EnhancePipeline(EnhanceConfig(superres="raisr"), raisr_model=model)
+        out = np.asarray(pipe(batch))
+        assert out.shape == (2, 128, 256) and out.dtype == np.uint8
+        want = np.asarray(
+            raisr_upsample(histeq_global(batch), model.filters, model.cfg)
+        )
+        np.testing.assert_array_equal(out, want)
+
+    def test_raisr_superres_requires_model(self):
+        from oclcomputervision_tpu.models.pipeline import EnhanceConfig, EnhancePipeline
+
+        with pytest.raises(ValueError, match="RaisrModel"):
+            EnhancePipeline(EnhanceConfig(superres="raisr"))
+        with pytest.raises(ValueError, match="superres"):
+            EnhancePipeline(EnhanceConfig(superres="bogus"))
+
 
 class TestHistEqRuntime:
     def test_clHistEq_api(self, under_exposure_gray):
