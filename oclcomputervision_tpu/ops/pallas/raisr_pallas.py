@@ -135,9 +135,13 @@ def _make_kernel(
     if double_pm:
         rc = _row_chunk(w2, double_pm=True)
     # column groups slice lanes: degrade to the largest group count
-    # whose slices stay 128-lane-aligned at this width
-    while groups > 1 and w2 % (groups * 128) != 0:
-        groups //= 2
+    # (not necessarily a power of two - w2p=768 takes 6) whose slices
+    # stay 128-lane-aligned at this width
+    if w2 % (groups * 128) != 0:
+        g = min(groups, w2 // 128)
+        while g > 1 and w2 % (g * 128) != 0:
+            g -= 1
+        groups = g
     sel_dt = jnp.bfloat16 if variant.endswith("bf") else jnp.float32
     # 'g4w': cast the whole plane band to bf16 ONCE per tile, so the
     # 121 per-chunk tap copies move half the bytes with aligned reads

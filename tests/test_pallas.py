@@ -367,8 +367,13 @@ class TestHashKernel:
 
 
 class TestApplyVariants:
-    @pytest.mark.parametrize("variant", ["g4", "g4r", "g4p"])
-    def test_variant_bit_identical_to_base(self, variant):
+    @pytest.mark.parametrize(
+        "variant,w2",
+        [("g4", 512), ("g4r", 512), ("g4p", 512), ("g8", 768)],
+        # g8 at w2=768 exercises the non-power-of-two degrade (6 column
+        # groups - the x3 pipeline's geometry)
+    )
+    def test_variant_bit_identical_to_base(self, variant, w2):
         # every hardware variant (column-group pipeline, lane-roll taps,
         # double-Pm pipeline) reorders work, never values: outputs must
         # match the straight-line kernel bit for bit
@@ -379,7 +384,7 @@ class TestApplyVariants:
         s, fl = 2, 11
         hp = rp.plane_halo(fl, s)
         rng = np.random.default_rng(7)
-        nimg, h2, w2 = 1, 128, 512
+        nimg, h2 = 1, 128
         planes = jnp.asarray(
             rng.random((nimg, s * s, h2 + rp.HALO_ROWS, w2 + 128), dtype=np.float32)
         )
