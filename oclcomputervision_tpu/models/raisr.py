@@ -241,7 +241,9 @@ class RaisrModel:
         )
 
     @classmethod
-    def load(cls, path: str, fidelity: str = "full") -> "RaisrModel":
+    def load(
+        cls, path: str, fidelity: str = "full", blend: str = "none"
+    ) -> "RaisrModel":
         z = np.load(path)
         na, ns, nc, fl, sc = (int(v) for v in z["cfg"])
         cfg = RaisrConfig(
@@ -251,5 +253,6 @@ class RaisrModel:
             filter_len=fl,
             scale=sc,
             fidelity=fidelity,
+            blend=blend,
         )
         return cls(cfg=cfg, filters=jnp.asarray(z["filters"]))

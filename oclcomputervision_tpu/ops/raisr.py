@@ -445,6 +445,66 @@ def hash_planes(
     return (ai * cfg.num_strength + si) * cfg.num_coherence + ci
 
 
+def ct_blend_weights(up_y: jnp.ndarray) -> jnp.ndarray:
+    """Census-transform structure weights [..., H, W] in [0, 1]
+    (oracle/raisr.ct_blend_weights twin; RAISR paper §V blending -
+    w = clip((8 - LCC)/6, 0, 1) from the 3x3 census ring of the
+    cheap-upscaled luma, edge-replicated borders)."""
+    nd = up_y.ndim
+    pad = [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(up_y, pad, mode="edge")
+    h, w = up_y.shape[-2], up_y.shape[-1]
+    lead = (0,) * (nd - 2)
+    bits = [
+        jax.lax.slice(
+            xp, lead + (1 + dr, 1 + dc), up_y.shape[:-2] + (1 + dr + h, 1 + dc + w)
+        )
+        >= up_y
+        for dr, dc in oracle_raisr.CT_RING
+    ]
+    lcc = sum(
+        (bits[k] != bits[(k + 1) % 8]).astype(jnp.float32) for k in range(8)
+    )
+    return jnp.clip((8.0 - lcc) / 6.0, 0.0, 1.0)
+
+
+def _ct_blend_weight_planes(
+    up_pl: jnp.ndarray, s: int, hp: int, h2p: int, w2p: int
+) -> jnp.ndarray:
+    """ct_blend_weights in parity-plane space.
+
+    up_pl [B, s*s, hq, wq] luma upscale planes (origin (hp, hp),
+    out-of-image entries edge-replicated by the upscale kernel contract,
+    so boundary census bits match the oracle's edge padding) ->
+    weights [B, s*s, h2p, w2p]. Full-res pixel (s*i + a, s*j + b)'s
+    census neighbor (dr, dc) lives in plane ((a+dr) % s, (b+dc) % s) at
+    the static in-plane offset ((a+dr)//s, (b+dc)//s) - the hash
+    kernel's rd() pattern, here as plain XLA slices (the stage is
+    elementwise-bound; measured cost in ROADMAP)."""
+    nb = up_pl.shape[0]
+
+    def rd(a, b, dr, dc):
+        a2, ro = (a + dr) % s, (a + dr) // s
+        b2, co = (b + dc) % s, (b + dc) // s
+        return jax.lax.slice(
+            up_pl,
+            (0, a2 * s + b2, hp + ro, hp + co),
+            (nb, a2 * s + b2 + 1, hp + ro + h2p, hp + co + w2p),
+        )[:, 0]
+
+    outs = []
+    for a in range(s):
+        for b in range(s):
+            center = rd(a, b, 0, 0)
+            bits = [rd(a, b, dr, dc) >= center for dr, dc in oracle_raisr.CT_RING]
+            lcc = sum(
+                (bits[k] != bits[(k + 1) % 8]).astype(jnp.float32)
+                for k in range(8)
+            )
+            outs.append(jnp.clip((8.0 - lcc) / 6.0, 0.0, 1.0))
+    return jnp.stack(outs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nchan", "interpret"))
 def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
                           interpret=False):
@@ -535,6 +595,17 @@ def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
     )  # [nc*B, s*s, h2p, w2p]
     filtered = [stacked_out[c * bsz : (c + 1) * bsz] for c in range(nc)]
 
+    if cfg.blend == "ct":
+        # census-transform structure blending (paper §V): luma-derived
+        # weights fade every filtered channel back to the cheap upscale
+        # in unstructured regions
+        wgt = _ct_blend_weight_planes(yuv_planes[0], s, hp, h2p, w2p)
+        filtered = [
+            wgt * f
+            + (1.0 - wgt) * yuv_planes[c][:, :, hp : hp + h2p, hp : hp + w2p]
+            for c, f in enumerate(filtered)
+        ]
+
     if nchan == 1:
         out_pl = [filtered[0]]
     else:
@@ -611,6 +682,9 @@ def _raisr_post(up, filters, cfg: RaisrConfig, gray: bool, use_pallas: bool = Tr
             filtered = jnp.stack(chans, axis=-1)
         else:
             filtered = apply_filters_fast(yuv, ai, si, ci, filters, cfg)
+        if cfg.blend == "ct":
+            wgt = ct_blend_weights(yuv[..., 0])[..., None]
+            filtered = wgt * filtered + (1.0 - wgt) * yuv
         out = filtered if gray else _csc(filtered, oracle_raisr.YUV2RGB.T)
 
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)

@@ -144,6 +144,39 @@ def apply_filters(
     return out[..., 0] if squeeze else out
 
 
+# 8-neighbor ring in circular (clockwise) order for the census
+# transform's local change count
+CT_RING = ((-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+
+def ct_blend_weights(up_y: np.ndarray) -> np.ndarray:
+    """Per-pixel filtered-output weight in [0, 1] from the census
+    transform of the cheap-upscaled luma (RAISR paper arXiv:1606.01299
+    §V "blending"; the reference kernel has no blending stage).
+
+    The 3x3 census transform bits b_k = (neighbor_k >= center) are read
+    around the ring in circular order; the local change count
+    LCC = #{k : b_k != b_(k+1 mod 8)} measures structure: a flat patch
+    or a single clean edge gives LCC <= 2 (contiguous runs), randomness
+    (noise) gives high LCC. The filtered output gets full weight on
+    structure and fades to the cheap upscale as randomness rises:
+    w = clip((8 - LCC) / 6, 0, 1) (LCC is even by ring parity, so the
+    realized weights are {1, 1, 2/3, 1/3, 0} for LCC {0, 2, 4, 6, 8}).
+    Boundaries are edge-replicated (replicated neighbors tie as >=,
+    which reads as structure - boundary pixels keep the filter).
+    """
+    xp = np.pad(up_y, 1, mode="edge")
+    h, w = up_y.shape
+    bits = [
+        xp[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w] >= up_y
+        for dr, dc in CT_RING
+    ]
+    lcc = np.zeros((h, w), np.int32)
+    for k in range(8):
+        lcc += bits[k] != bits[(k + 1) % 8]
+    return np.clip((8.0 - lcc) / 6.0, 0.0, 1.0)
+
+
 def raisr_upsample(
     img: np.ndarray,
     filters: np.ndarray | None,
@@ -169,6 +202,15 @@ def raisr_upsample(
         ptype = pixel_type_map(*yuv.shape[:2], cfg.scale)
         fidx = filter_index(bucket, ptype, cfg)
         filtered = apply_filters(yuv if not gray else yuv[..., 0], fidx, filters, cfg)
+        if cfg.blend == "ct":
+            # the luma-derived structure weight blends every channel
+            # (each channel got the same per-pixel filter, so the same
+            # artifact-suppression weight applies)
+            wgt = ct_blend_weights(yuv[..., 0])
+            cheap = yuv[..., 0] if gray else yuv
+            if not gray:
+                wgt = wgt[..., None]
+            filtered = wgt * filtered + (1.0 - wgt) * cheap
         out = filtered if gray else filtered @ YUV2RGB.T
 
     return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)

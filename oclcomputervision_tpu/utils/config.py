@@ -82,6 +82,12 @@ class RaisrConfig:
     strength_quantizers: Tuple[float, ...] = (1e-4, 1e-3)  # raisr.py:112
     coherence_quantizers: Tuple[float, ...] = (0.25, 0.5)  # raisr.py:114
     fidelity: str = "full"  # 'full' | 'shipped'
+    # 'ct': census-transform structure blending (RAISR paper §V) of the
+    # filtered output with the cheap upscale - suppresses filter
+    # artifacts in unstructured (noisy) regions. 'none' = filtered
+    # output as-is (the reference kernel has no blending stage).
+    # Applies to fidelity='full' only.
+    blend: str = "none"  # 'none' | 'ct'
 
     @property
     def num_pixel_type(self) -> int:

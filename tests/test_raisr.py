@@ -216,6 +216,80 @@ class TestPlanePipeline:
         assert (np.abs(got.astype(int) - want.astype(int)) > 2).mean() < 0.01
 
 
+class TestCtBlend:
+    """Census-transform structure blending (RAISR paper §V) - a quality
+    extension over the reference kernel, which has no blending stage."""
+
+    def test_weight_patterns(self):
+        # flat patch: all census bits tie as >= -> LCC 0 -> full filter
+        flat = np.full((8, 8), 0.5)
+        np.testing.assert_array_equal(onp.ct_blend_weights(flat), 1.0)
+        # checkerboard peaks: bits alternate around the ring -> LCC 8 ->
+        # cheap upscale (valley centers tie as >= on every neighbor and
+        # read as flat - the standard census >= tie-break; exact ties
+        # are measure-zero on real noise)
+        yy, xx = np.mgrid[0:8, 0:8]
+        board = ((yy + xx) % 2).astype(np.float64)
+        w = onp.ct_blend_weights(board)
+        np.testing.assert_array_equal(w[1:-1, 1:-1][board[1:-1, 1:-1] == 1.0], 0.0)
+        # clean vertical edge: one contiguous run -> LCC 2 -> full filter
+        edge = np.zeros((8, 8))
+        edge[:, 4:] = 1.0
+        assert (onp.ct_blend_weights(edge) == 1.0).all()
+
+    def test_jnp_twin_matches_oracle(self, lenna_gray_mod):
+        up = onp.cheap_upscale(
+            lenna_gray_mod[:48, :52].astype(np.float64) / 255.0, 2
+        ).astype(np.float32)
+        want = onp.ct_blend_weights(up.astype(np.float64))
+        got = np.asarray(ops.ct_blend_weights(np.asarray(up)))
+        # same comparisons on the same fp32 values; the weight set is
+        # tiny so fp32-vs-fp64 arithmetic cannot flip it
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_interleaved_blend_matches_oracle(self, lenna_gray_mod, trained):
+        cfg = RaisrConfig(fidelity="full", blend="ct")
+        lr = lenna_gray_mod[:64, :64]
+        want = onp.raisr_upsample(lr, np.asarray(trained), cfg)
+        got = np.asarray(ops.raisr_upsample(lr, trained, cfg))
+        assert psnr(got, want) > 35, psnr(got, want)
+        assert (np.abs(got.astype(int) - want.astype(int)) > 2).mean() < 0.02
+
+    @pytest.mark.parametrize("nchan", [1, 3])
+    def test_plane_pipeline_blend_matches_interleaved(
+        self, lenna_gray_mod, trained, tiny_cfg, nchan
+    ):
+        cfg = RaisrConfig(fidelity="full", blend="ct")
+        img = lenna_gray_mod[:96, :100]
+        src = img if nchan == 1 else np.stack(
+            [img, np.roll(img, 7, 0), np.roll(img, 3, 1)], -1
+        )
+        got = np.asarray(
+            ops._raisr_2d_planes(src, trained, cfg, nchan, interpret=True)
+        )
+        want = np.asarray(ops._raisr_2d(src, trained, cfg, nchan == 1))
+        assert got.shape == want.shape
+        assert psnr(got, want) > 40, psnr(got, want)
+        assert (np.abs(got.astype(int) - want.astype(int)) > 2).mean() < 0.01
+
+    def test_blend_fades_noise_toward_cheap_upscale(self, trained, tiny_cfg):
+        # pure-noise input: census randomness is high everywhere, so the
+        # blended output must sit closer to the cheap upscale than the
+        # unblended filtered output does
+        from oclcomputervision_tpu.ops.interpolation import resize_uint8
+
+        rng = np.random.default_rng(3)
+        lr = rng.integers(0, 256, (48, 48), np.uint8)
+        cheap = np.asarray(resize_uint8(lr, (96, 96), "bilinear")).astype(int)
+        plain = np.asarray(ops.raisr_upsample(lr, trained, tiny_cfg)).astype(int)
+        blended = np.asarray(
+            ops.raisr_upsample(
+                lr, trained, RaisrConfig(fidelity="full", blend="ct")
+            )
+        ).astype(int)
+        assert np.abs(blended - cheap).mean() < np.abs(plain - cheap).mean()
+
+
 class TestTraining:
     def test_self_upscale_beats_bilinear(self, lenna_gray_mod, trained, tiny_cfg):
         # degrade lenna, restore with filters trained on it: RAISR must
