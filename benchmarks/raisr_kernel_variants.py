@@ -5,12 +5,14 @@ Reproduces the ROADMAP round-3 measurements on real TPU hardware:
   apply (per phase, 4x 4MP images):     hash (per 16x 4MP images):
     base    2.629 ms                      halfplane      9.383 ms
     g2      2.294 ms                      ratio          8.933 ms
-    g4      2.056 ms  <- default          ratio_sym      8.660 ms
-    g4w     2.027 ms                      ratio_sym_roll 8.275 ms <- default
-    g4r     2.110 ms (lane-roll taps)     diag_s1    2.532 ms (stage 1)
-    g4p     2.122 ms (double-Pm pipe)     diag_s12   2.996 ms (stages 1-2)
-    g8p     4.126 ms (double-Pm pipe)     diag_noeig 7.102 ms (blur only)
-    g8      1.910 ms (20 min compile)
+    g4      2.056 ms                      ratio_sym      8.660 ms
+    g4w     2.027 ms                      ratio_sym_roll 8.276 ms
+    g4r     2.110 ms (lane-roll taps)     ratio_sym_roll_ns 7.987 <- default
+    g4p     2.122 ms (double-Pm pipe)     diag_s1    2.532 ms (stage 1)
+    g8p     4.126 ms (double-Pm pipe)     diag_s12   2.996 ms (stages 1-2)
+    g8      1.910 ms (20 min compile)     diag_noeig 7.102 ms (blur only)
+    g4s     1.906 ms (staged taps)
+    g8s     1.747 ms <- default
     notaps  1.810 ms (diagnostic)
     nosel   2.395 ms (diagnostic)
 

@@ -120,8 +120,21 @@ def _make_kernel(
     tap_plane, tap_off = _tap_tables(fl, s, py, px, hp)
     groups = {
         "g2": 2, "g2bf": 2, "g4": 4, "g4bf": 4, "g8": 8, "g4w": 4,
-        "g4r": 4, "g8r": 8, "g4p": 4, "g8p": 8,
+        "g4r": 4, "g8r": 8, "g4p": 4, "g8p": 8, "g4s": 4, "g8s": 8,
     }.get(variant, 1)
+    # 'g4s'/'g8s': STAGED tap build. The tap copies' cost is the
+    # sublane relayout of the misaligned +roff row offsets (g4w/g4r/g4p
+    # triangulation, ROADMAP) - but roff depends only on the tap ROW
+    # ti, so only len({roff}) x (planes used at that roff) distinct
+    # source bands exist per chunk (12 at s=2, fl=11, not 121). Stage
+    # those once per chunk (paying the relayout + the f32->bf16 cast
+    # 12 times), then build the 121 Pm rows from the staging buffer
+    # with sublane-ALIGNED bf16 reads (only a cheap lane offset).
+    staged = variant in ("g4s", "g8s")
+    stage_pairs = sorted(
+        {(tap_off[q][0], tap_plane[q]) for q in range(n_taps)}
+    )
+    stage_idx = {pair: k for k, pair in enumerate(stage_pairs)}
     # 'g4r'/'g8r': build each tap row band from an offset-0 full-width
     # (lane-aligned) read + lane-rotate instead of a lane-misaligned
     # slice; bit-identical elements (see the hash kernel's roll note).
@@ -267,6 +280,17 @@ def _make_kernel(
                     if coff:
                         src = pltpu.roll(src, wq_p - coff, 1)
                     pm_buf[q] = src[:, :w2].astype(jnp.bfloat16)
+            elif staged:
+                stg = maybe_buf16[0]
+                for k, (roff, p) in enumerate(stage_pairs):
+                    stg[k] = tap_src[p, pl.ds(r0 + roff, rc), :].astype(
+                        jnp.bfloat16
+                    )
+                for q in range(n_taps):
+                    roff, coff = tap_off[q]
+                    pm_buf[q] = stg[
+                        stage_idx[(roff, tap_plane[q])], :, pl.ds(coff, w2)
+                    ]
             else:
                 for q in range(n_taps):
                     roff, coff = tap_off[q]
@@ -325,17 +349,19 @@ def _apply_phase(
     nimg = planes.shape[0]
     assert nimg % nb == 0, (nimg, nb)
     assert 2 * hp <= HALO_ROWS, (hp, HALO_ROWS)
+    _tp, _to = _tap_tables(fl, s, py, px, hp)
+    n_stage = len({(o[0], p) for o, p in zip(_to, _tp)})
     if variant is None:
-        # hardware default: the 8-column-group software pipeline (27%
-        # faster than base, 7% than g4, bit-exact - ROADMAP
-        # measurements; groups degrade to w2//128 at narrow widths).
-        # g8's Mosaic compile took 20 min once through a degraded
-        # remote-compile service (normally ~2 min; the persistent cache
-        # makes it one-time) - flip to "g4" if compile latency ever
-        # outweighs the 7%. Interpret mode keeps the straight-line
-        # kernel (the grouped unroll is ~2x slower under the
-        # interpreter and numerically identical)
-        variant = "base" if interpret else "g8"
+        # hardware default: 8-column-group software pipeline + STAGED
+        # sublane-aligned tap build (g8s: 1.748 ms/phase/4x4MP vs g8
+        # 1.909, base 2.629 - bit-exact; ROADMAP measurements; groups
+        # degrade to w2//128 at narrow widths). Flip to "g4" if Mosaic
+        # compile latency ever outweighs the win (g8's compile took 20
+        # min once through a degraded remote-compile service; the
+        # persistent cache makes it one-time). Interpret mode keeps the
+        # straight-line kernel (the grouped unroll is ~2x slower under
+        # the interpreter and numerically identical)
+        variant = "base" if interpret else "g8s"
     kernel = _make_kernel(fl, s, py, px, w2, hp, variant)
     return pl.pallas_call(
         kernel,
@@ -375,6 +401,15 @@ def _apply_phase(
                 (128, _row_chunk(w2, True), w2), jnp.bfloat16
             )]
             if variant in ("g4p", "g8p")
+            else []
+        )
+        + (
+            # staging buffer for the sublane-aligned tap build: one
+            # bf16 band per distinct (row offset, plane) pair
+            [pltpu.VMEM(
+                (n_stage, _row_chunk(w2), planes.shape[3]), jnp.bfloat16
+            )]
+            if variant in ("g4s", "g8s")
             else []
         ),
         interpret=interpret,
@@ -417,7 +452,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
     # bit-identical to the slice form; the probe measured a roll at
     # ~2x an aligned read vs ~9x for the misaligned slice it replaces
     # (benchmarks/micro_probes.py shift).
-    lane_roll = angle_mode.endswith("_roll")
+    lane_roll = "_roll" in angle_mode
     # roll mode pads the vbuf scratch width to a lane multiple so the
     # stage-3 rotates act on whole vregs
     vw = -(-ext_c // 128) * 128 if lane_roll else ext_c
@@ -498,7 +533,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
         # stage 2: vertical blur for every (out-row-phase, src-col-phase)
         # pair - the horizontal pass mixes column phases, so each column
         # phase's vertical result must be kept
-        sym = angle_mode in ("ratio_sym", "ratio_sym_ps", "ratio_sym_roll")
+        sym = angle_mode.startswith("ratio_sym")
         for a_out in range(s):
             for b_src in range(s):
                 for t in range(3):
@@ -610,7 +645,8 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
             det = ta * td - tb * tb
             disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
             l1 = tr / 2.0 + disc
-            l2 = tr / 2.0 - disc
+            no_sqrt = angle_mode.endswith("_ns")
+            l2 = None if no_sqrt else tr / 2.0 - disc
 
             # angle bucket via half-plane sign tests (see docstring)
             uu = l1 - td
@@ -618,7 +654,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
             u2 = jnp.where(flip, -uu, uu)
             v2 = jnp.where(flip, -tb, tb)
             aidx = jnp.zeros_like(uu, dtype=jnp.int32)
-            if angle_mode in ("ratio", "ratio_sym", "ratio_sym_roll"):
+            if angle_mode.startswith("ratio"):
                 # one division turns each boundary test into a single
                 # compare: theta >= a_k  <=>  u2/v2 < cot(a_k) on the
                 # open upper half-plane (v2 > 0; sin(a_k) > 0 for all
@@ -645,15 +681,33 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
             for q in squant:
                 sidx = sidx + (l1 >= q).astype(jnp.int32)
 
-            sq1 = jnp.sqrt(jnp.maximum(l1, 0.0))
-            sq2 = jnp.sqrt(jnp.maximum(l2, 0.0))
             cidx = jnp.zeros_like(aidx)
-            nz = (sq1 + sq2) != 0.0
-            for q in cquant:
-                # coherence >= q  <=>  (1-q) sq1 >= (1+q) sq2, denom > 0
-                cidx = cidx + (
-                    nz & ((1.0 - q) * sq1 - (1.0 + q) * sq2 >= 0.0)
-                ).astype(jnp.int32)
+            if no_sqrt:
+                # sqrt-free coherence ('_ns' modes): squaring the test
+                # (1-q)*sqrt(m1) >= (1+q)*sqrt(m2) with m = max(l, 0),
+                # l1/2 = tr/2 +- disc gives (1-q)^2 m1 - (1+q)^2 m2 =
+                # 2[(1+q^2) disc - q tr] whenever l2 >= 0, and when
+                # l2 < 0 the original test is true and so is the new
+                # one (tr < 2 disc => q tr < 2q disc <= (1+q^2) disc by
+                # AM-GM) - so ONE fused compare replaces both
+                # eigenvalue sqrts exactly (in real arithmetic; fp
+                # rounding differs only at bucket boundaries, the same
+                # contract as ratio_sym). nz = sq1 + sq2 != 0 <=>
+                # l1 > 0 since l1 >= l2.
+                nz = l1 > 0.0
+                for q in cquant:
+                    cidx = cidx + (
+                        nz & ((1.0 + q * q) * disc >= q * tr)
+                    ).astype(jnp.int32)
+            else:
+                sq1 = jnp.sqrt(jnp.maximum(l1, 0.0))
+                sq2 = jnp.sqrt(jnp.maximum(l2, 0.0))
+                nz = (sq1 + sq2) != 0.0
+                for q in cquant:
+                    # coherence >= q <=> (1-q) sq1 >= (1+q) sq2, denom > 0
+                    cidx = cidx + (
+                        nz & ((1.0 - q) * sq1 - (1.0 + q) * sq2 >= 0.0)
+                    ).astype(jnp.int32)
 
             out_ref[0, p_out] = (
                 aidx * (len(squant) + 1) + sidx
@@ -667,7 +721,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
 )
 def hash_planes_pallas(
     planes, cfg, interpret: bool = False, h2p: int | None = None,
-    angle_mode: str = "ratio_sym_roll",
+    angle_mode: str = "ratio_sym_roll_ns",
 ):
     """Bucket planes [B, s*s, h2p, w2p] int32 from upscale planes
     [B, s*s, >= h2p + HALO_ROWS, w2p + 128] f32 (origin-aligned; rows
@@ -709,7 +763,7 @@ def hash_planes_pallas(
                     _hash_tile_h(w2p, s),
                     # roll mode rotates whole vregs: lane-pad the width
                     -(-(w2p + 2 * bh) // 128) * 128
-                    if angle_mode.endswith("_roll")
+                    if "_roll" in angle_mode
                     else w2p + 2 * bh,
                 ),
                 jnp.float32,
