@@ -631,7 +631,37 @@ def estimate_motion_vector(
         and costfn in ("sad", "ssd")
         and _smap_count(steps) <= 1500
     ):
-        # gather-free exact search (bit-identical, ~300x faster)
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas,
+            me_exact_pallas_supported,
+        )
+
+        if jax.default_backend() == "tpu" and me_exact_pallas_supported(
+            search_size, patch_size, costfn
+        ):
+            # fused Pallas search: cost maps transient in VMEM instead
+            # of ~530 masked map adds streamed through HBM (bit-
+            # identical; see ops/pallas/me_pallas.py)
+            try:
+                return me_exact_pallas(
+                    gray0, gray1, search_size, patch_size, costfn
+                )
+            except Exception as e:  # Mosaic scoped-vmem OOM -> XLA twin
+                if (
+                    "vmem" not in str(e).lower()
+                    and "scoped" not in str(e).lower()
+                ):
+                    raise
+                import warnings
+
+                warnings.warn(
+                    "exact-ME Pallas kernel exceeded scoped VMEM at this "
+                    f"geometry ({gray0.shape}); falling back to the XLA "
+                    f"S-map path: {e}",
+                    RuntimeWarning,
+                )
+        # gather-free exact search (bit-identical, ~300x faster than
+        # the windowed gather)
         if gray0.ndim == 3:
             return jax.vmap(
                 lambda g0, g1: _estimate_2d_smap(

@@ -433,3 +433,62 @@ class TestHashTileRule:
         assert _hash_tile_h(256, 4) == 16   # verified fits
         assert _hash_tile_h(512, 4) == 8    # verified fits
         assert _hash_tile_h(2048, 4) == 0   # no tile fits -> XLA twin
+
+
+class TestMeExactKernel:
+    """Fused exact block-matching search (ops/pallas/me_pallas.py):
+    bit-identical to the XLA S-map twin (itself bit-identical to
+    oracle/motion) across geometries, costs, batches, and odd shapes."""
+
+    @pytest.mark.parametrize(
+        "ss,ps,h,w,costfn",
+        [
+            (15, 5, 48, 70, "sad"),   # default geometry
+            (15, 5, 33, 129, "sad"),  # odd rows, >1 lane tile
+            (9, 3, 64, 80, "sad"),    # two-round schedule
+            (11, 5, 25, 31, "ssd"),   # ssd cost, tiny frame
+        ],
+    )
+    def test_bit_identical_to_xla_twin(self, rng, ss, ps, h, w, costfn):
+        from oclcomputervision_tpu.ops.motion import _estimate_2d_smap
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas,
+            me_exact_pallas_supported,
+        )
+
+        assert me_exact_pallas_supported(ss, ps, costfn)
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ref = np.asarray(_estimate_2d_smap(g0, g1, ss, ps, costfn))
+        got = np.asarray(
+            me_exact_pallas(g0, g1, ss, ps, costfn, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_batched_real_content(self, rng):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.motion import _estimate_2d_smap
+        from oclcomputervision_tpu.ops.pallas.me_pallas import me_exact_pallas
+        from oclcomputervision_tpu.utils import load_gray
+
+        f10 = np.asarray(load_gray("frame10.png"))[::4, ::4]
+        f11 = np.asarray(load_gray("frame11.png"))[::4, ::4]
+        b0, b1 = np.stack([f10, f11]), np.stack([f11, f10])
+        got = np.asarray(me_exact_pallas(b0, b1, 15, 5, interpret=True))
+        for i in range(2):
+            ref = np.asarray(
+                _estimate_2d_smap(jnp.asarray(b0[i]), jnp.asarray(b1[i]), 15, 5)
+            )
+            np.testing.assert_array_equal(got[i], ref)
+
+    def test_geometry_gate(self):
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_supported,
+        )
+
+        assert me_exact_pallas_supported(15, 5, "sad")
+        assert me_exact_pallas_supported(15, 5, "ssd")
+        assert not me_exact_pallas_supported(15, 5, "wsad")
+        assert not me_exact_pallas_supported(21, 7, "sad")  # unroll blowup
+        assert not me_exact_pallas_supported(5, 5, "sad")  # no steps
