@@ -492,3 +492,40 @@ class TestMeExactKernel:
         assert not me_exact_pallas_supported(15, 5, "wsad")
         assert not me_exact_pallas_supported(21, 7, "sad")  # unroll blowup
         assert not me_exact_pallas_supported(5, 5, "sad")  # no steps
+
+    def test_scoped_vmem_overflow_degrades_to_xla(self, rng, monkeypatch):
+        # an unverified geometry overflowing Mosaic scoped vmem must
+        # warn and fall back to the XLA S-map path, not raise (the same
+        # contract as the RAISR dispatcher, test_raisr.TestVmemFallback)
+        import jax
+
+        from oclcomputervision_tpu.ops import motion
+        from oclcomputervision_tpu.ops.motion import (
+            _estimate_2d_smap,
+            estimate_motion_vector,
+        )
+        from oclcomputervision_tpu.ops.pallas import me_pallas
+
+        g0 = rng.integers(0, 256, (40, 60)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (40, 60)).astype(np.uint8)
+        want = np.asarray(_estimate_2d_smap(g0, g1, 15, 5))
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            me_pallas,
+            "me_exact_pallas",
+            lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("RESOURCE_EXHAUSTED: scoped vmem limit")
+            ),
+        )
+        with pytest.warns(RuntimeWarning, match="scoped VMEM"):
+            got = estimate_motion_vector(g0, g1, 15, 5, method="exact")
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+        monkeypatch.setattr(
+            me_pallas,
+            "me_exact_pallas",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            estimate_motion_vector(g0, g1, 15, 5, method="exact")
