@@ -47,6 +47,26 @@ class TestDataParallel:
         want = np.asarray(raisr_upsample(batch, filters, cfg))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("mode", ["fast", "exact"])
+    def test_batched_motion_matches_single(self, mesh8, rng, mode):
+        # dp-sharded dense ME: each device searches its frame-pair
+        # shard; flows must be bit-identical to the unsharded call
+        from oclcomputervision_tpu.ops.motion import estimate_motion_vector
+
+        h, w = 40, 56
+        b0 = rng.integers(0, 256, (8, h, w)).astype(np.uint8)
+        b1 = np.stack(
+            [np.roll(f, (1, -2), axis=(0, 1)) for f in b0]
+        ).astype(np.uint8)
+        fn = parallel.data_parallel(
+            lambda f0, f1: estimate_motion_vector(f0, f1, 15, 5, method=mode),
+            mesh8,
+            "data",
+        )
+        got = np.asarray(jax.jit(fn)(b0, b1))
+        want = np.asarray(estimate_motion_vector(b0, b1, 15, 5, method=mode))
+        np.testing.assert_array_equal(got, want)
+
 
 class TestSpatialSharding:
     def test_row_sharded_histeq_matches_single_device(self, mesh8, under_exposure_gray):
