@@ -702,6 +702,38 @@ def estimate_motion_vector(
         if nmaps * hw * 4 <= 6e9:  # live S-map stack budget (HBM)
             _warn_seed_saturation(seed, sb, "seed_bound")
             sd = jnp.asarray(seed)
+            from oclcomputervision_tpu.ops.pallas.me_pallas import (
+                me_exact_pallas_seeded,
+                me_exact_pallas_seeded_supported,
+            )
+
+            if (
+                jax.default_backend() == "tpu"
+                and me_exact_pallas_seeded_supported(
+                    search_size, patch_size, costfn, sb
+                )
+            ):
+                # fused band-resident Pallas search: 9.7 ms/VGA frame
+                # device vs ~33 for the XLA S-map stack (bit-identical)
+                try:
+                    return me_exact_pallas_seeded(
+                        gray0, gray1, sd, search_size, patch_size,
+                        costfn, seed_mode, sb,
+                    )
+                except Exception as e:  # Mosaic scoped-vmem OOM -> XLA
+                    if (
+                        "vmem" not in str(e).lower()
+                        and "scoped" not in str(e).lower()
+                    ):
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        "seeded exact-ME Pallas kernel exceeded scoped "
+                        f"VMEM at this geometry ({gray0.shape}); falling "
+                        f"back to the XLA S-map path: {e}",
+                        RuntimeWarning,
+                    )
             if gray0.ndim == 3:
                 return jax.vmap(
                     lambda g0, g1, s_: _estimate_2d_smap_seeded(

@@ -46,7 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 from oclcomputervision_tpu.oracle.motion import me_steps
 
 BAND_H = 32  # output rows per grid step
-CHAIN_K = 4  # map builds allowed in flight (see the kernel's chain note)
 
 
 def _reachable_sets(steps):
@@ -79,7 +78,6 @@ def _band_rows(bh: int, pm: int, vmax: int):
 
 def _make_me_kernel(
     steps, bh: int, wp: int, pm: int, vmax: int, costfn: str,
-    chain: bool = True,
 ):
     patch = 2 * pm + 1
     f0_rows, f1_rows = _band_rows(bh, pm, vmax)
@@ -123,34 +121,24 @@ def _make_me_kernel(
 
         f0 = f0b[:]
 
-        # every map build is data-independent, so Mosaic's scheduler
-        # keeps hundreds of [band, wp] temporaries live at once (the
-        # pure-value form hit a 279 MB vmem stack). ``chain`` threads a
-        # semantic no-op dependency (min(S[0,0], 0) == 0 for SAD/SSD,
-        # but opaque to the compiler) from each map into the next
-        # build, bounding the live set to ~CHAIN_K maps' temporaries.
-        chain_q = []
-
         def smap(vy: int, vx: int):
             # transient cost map S_{vy,vx} [bh, wp] (int32)
             # row alignment: f0b row r is image row r0 + r - pm;
             # f1b row r is image row r0 + r - pad1. f0 row (y + k)
             # pairs with f1 row (y + k + vy)  =>  f1b index is
             # (y + k) + vy + vmax relative to f0b's.
+            # NOTE: the builds are left data-independent ON PURPOSE.
+            # A "scheduling chain" variant (each map's band read
+            # perturbed by min(prev_map, 0), an opaque zero) was
+            # measured on hardware and BLEW UP register allocation —
+            # 203 MB of spill slots vs a clean compile without it;
+            # Mosaic handles the unordered straight-line form fine.
             sl = rot[vx + vmax, pl.ds(vy + vmax, f0_rows), :]
-            if chain and chain_q:
-                # [1, wp] row: sublane-only broadcast (Mosaic cannot
-                # broadcast a [1, 1] in both dims)
-                sl = sl + jnp.minimum(chain_q[0][0:1, :], 0)
             if costfn == "sad":
                 d = jnp.abs(f0 - sl)
             else:  # ssd
                 d = (f0 - sl) * (f0 - sl)
-            s = boxsum(d)
-            chain_q.append(s)
-            if len(chain_q) > CHAIN_K:
-                chain_q.pop(0)
-            return s
+            return boxsum(d)
 
         dy = jnp.zeros((bh, wp), jnp.int32)
         dx = jnp.zeros((bh, wp), jnp.int32)
@@ -236,12 +224,7 @@ def me_exact_pallas(
         f1e, gray1.astype(jnp.int32), (0, pad1, pad1)
     )
 
-    # the scheduling chain is a Mosaic-only concern; it adds exactly 0
-    # (min(S, 0) with S >= 0) but makes XLA's CPU compile of the
-    # interpreted kernel pathologically slow
-    kernel = _make_me_kernel(
-        steps, bh, wp, pm, vmax, costfn, chain=not interpret
-    )
+    kernel = _make_me_kernel(steps, bh, wp, pm, vmax, costfn)
     u, v = pl.pallas_call(
         kernel,
         grid=(bsz, hp // bh),
@@ -263,9 +246,7 @@ def me_exact_pallas(
             pltpu.VMEM((2 * vmax + 1, f1_rows, wp), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        # headroom for scheduler-hoisted rot reads (the chain bounds
-        # everything downstream; the raw reads only depend on rot and
-        # may still be scheduled ahead)
+        # headroom for the rot scratch + scheduler lookahead
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         ),
@@ -276,6 +257,252 @@ def me_exact_pallas(
     # zero-padded patch; valid pixels are [:, :h, :w]
     flow = jnp.stack([u[:, :h, :w], v[:, :h, :w]], axis=-1)
     return flow[0] if squeeze else flow
+
+
+def _make_me_seeded_kernel(
+    steps, bh: int, wp: int, pm: int, vmax: int, B: int, nxmax: int,
+    costfn: str,
+):
+    """Seeded twin of _make_me_kernel (pyramid levels > 0).
+
+    Same VMEM-resident band search, but the per-pixel state starts at
+    the CLAMPED seed base (|a| <= B) instead of 0, so the per-round
+    reachable sets are the contiguous ranges aset_k = [-B,B] (+) vals_k
+    (ops/motion._estimate_2d_smap_seeded's closure). The column-
+    displacement loop becomes a lax.fori_loop over rot plane indices
+    (a static unroll of the ~2800 builds would be a ~70K-op program),
+    with the row-displacement builds unrolled inside the body - row
+    reads stay STATIC sublane slices (a dynamic sublane start would
+    need an alignment proof Mosaic can't make), and loop overhead
+    amortizes over ~ny builds. The hierarchical per-axis selection
+    accumulates into a VMEM scratch R[oi, j] = sum_vy (ay == vy) *
+    S_{vy + off[oi], xneed[j]} (stage A), then 9 candidate costs are
+    selected per column displacement (stage B) - O(|aset|) masked adds
+    per candidate instead of O(|aset|^2).
+    """
+    patch = 2 * pm + 1
+    f0_rows, f1_rows = _band_rows(bh, pm, vmax)
+    axis_sets = _reachable_sets(steps)
+
+    def boxsum(d):
+        v = d[:bh]
+        for k in range(1, patch):
+            v = v + d[k : k + bh]
+        s = v
+        for j in range(1, patch):
+            s = s + pltpu.roll(v, wp - j, 1)
+        return s
+
+    def kernel(f0_hbm, f1_hbm, ay_ref, ax_ref, u_ref, v_ref,
+               f0b, f1b, rot, Rs, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * bh
+        cp0 = pltpu.make_async_copy(
+            f0_hbm.at[b, pl.ds(r0, f0_rows), :], f0b, sems.at[0]
+        )
+        cp1 = pltpu.make_async_copy(
+            f1_hbm.at[b, pl.ds(r0, f1_rows), :], f1b, sems.at[1]
+        )
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+
+        for sft in range(2 * vmax + 1):
+            rot[sft] = pltpu.roll(f1b[:], wp - sft, 1) if sft else f1b[:]
+
+        f0 = f0b[:]
+        ay = ay_ref[0]
+        ax = ax_ref[0]
+
+        for st, vals in zip(steps, axis_sets):
+            a_lo = -B + min(vals)
+            a_hi = B + max(vals)
+            na = a_hi - a_lo + 1
+            x_lo = a_lo - st
+            nx = na + 2 * st
+            offs = (-st, 0, st)
+
+            # stage A loops the COLUMN displacement dynamically (a rot
+            # plane index - dim 0 of the scratch needs no alignment
+            # proof) and unrolls the ROW displacement statically (a
+            # dynamic sublane start would need a static multiple-of-8
+            # proof Mosaic can't make). R[oi, k] = sum_vy (ay == vy) *
+            # S_{vy+offs[oi], x_lo+k} is complete within iteration k,
+            # so it accumulates in REGISTERS and stores ONCE (an RMW
+            # variant through the scratch measured 1.6x slower: 19 MB
+            # of VMEM round-trips per iteration vs 0.3 of stores).
+            def body_u(k, carry, ay=ay, x_lo=x_lo, nx=nx, offs=offs,
+                       a_lo=a_lo, a_hi=a_hi):
+                acc = [None, None, None]
+                for u in range(x_lo, x_lo + nx):  # static row displ.
+                    sl = rot[
+                        pl.ds(k + (x_lo + vmax), 1),
+                        pl.ds(u + vmax, f0_rows),
+                        :,
+                    ][0]
+                    if costfn == "sad":
+                        d = jnp.abs(f0 - sl)
+                    else:  # ssd
+                        d = (f0 - sl) * (f0 - sl)
+                    s = boxsum(d)
+                    for oi, oy in enumerate(offs):
+                        vy = u - oy
+                        if a_lo <= vy <= a_hi:  # static edge skip
+                            sel = jnp.where(ay == vy, s, 0)
+                            acc[oi] = sel if acc[oi] is None else acc[oi] + sel
+                for oi in range(3):
+                    Rs[oi, pl.ds(k, 1)] = acc[oi][None]
+                return carry
+            jax.lax.fori_loop(0, nx, body_u, 0, unroll=False)
+
+            # stage B: static unroll (aset is a static range, so every
+            # slab index and mask compare is static; the 9 cost
+            # accumulators stay in registers like the unseeded kernel's)
+            costs = [None] * 9
+            for vx in range(a_lo, a_hi + 1):
+                m = ax == vx
+                for ci in range(9):
+                    slab = Rs[ci // 3, vx + offs[ci % 3] - x_lo]
+                    sel = jnp.where(m, slab, 0)
+                    costs[ci] = sel if costs[ci] is None else costs[ci] + sel
+
+            best_c = costs[0]
+            best_i = jnp.zeros((bh, wp), jnp.int32)
+            for ci in range(1, 9):
+                better = costs[ci] < best_c
+                best_c = jnp.where(better, costs[ci], best_c)
+                best_i = jnp.where(better, ci, best_i)
+            ay = ay + (best_i // 3 - 1) * st
+            ax = ax + (best_i % 3 - 1) * st
+
+        u_ref[0] = ax.astype(jnp.float32)
+        v_ref[0] = ay.astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_size", "patch_size", "costfn", "seed_mode", "seed_bound",
+        "interpret",
+    ),
+)
+def me_exact_pallas_seeded(
+    gray0,
+    gray1,
+    seed,
+    search_size: int = 15,
+    patch_size: int = 5,
+    costfn: str = "sad",
+    seed_mode: str = "shipped",
+    seed_bound: int = 8,
+    interpret: bool = False,
+):
+    """Seeded exact block-matching flow, bit-identical to
+    ops/motion._estimate_2d_smap_seeded (and to oracle/motion whenever
+    |trunc(seed)| <= seed_bound).
+
+    Accepts [H, W] or [B, H, W] frames with seed [..., H, W, 2].
+    """
+    gray0 = jnp.asarray(gray0)
+    gray1 = jnp.asarray(gray1)
+    seed = jnp.asarray(seed)
+    squeeze = gray0.ndim == 2
+    if squeeze:
+        gray0, gray1, seed = gray0[None], gray1[None], seed[None]
+    bsz, h, w = gray0.shape
+    pm = patch_size // 2
+    B = int(seed_bound)
+    steps = me_steps(search_size, patch_size)
+    axis_sets = _reachable_sets(steps)
+    rel_max = max(
+        abs(v + o * st)
+        for st, vals in zip(steps, axis_sets)
+        for v in vals
+        for o in (-1, 0, 1)
+    )
+    vmax = B + rel_max
+    nxmax = max(
+        (B + max(vals)) - (-B + min(vals)) + 2 * st + 1
+        for st, vals in zip(steps, axis_sets)
+    )
+    pad1 = pm + vmax
+    bh = min(BAND_H, max(8, -(-h // 8) * 8))
+    hp = -(-h // bh) * bh
+    wp = -(-(w + 2 * pad1) // 128) * 128
+    f0_rows, f1_rows = _band_rows(bh, pm, vmax)
+    f0e = jnp.zeros((bsz, hp - bh + f0_rows, wp), jnp.int32)
+    f0e = jax.lax.dynamic_update_slice(
+        f0e, gray0.astype(jnp.int32), (0, pm, pm)
+    )
+    f1e = jnp.zeros((bsz, hp - bh + f1_rows, wp), jnp.int32)
+    f1e = jax.lax.dynamic_update_slice(
+        f1e, gray1.astype(jnp.int32), (0, pad1, pad1)
+    )
+
+    seed_u = seed[..., 0].astype(jnp.float32)
+    seed_v = seed[..., 1].astype(jnp.float32)
+    ay0 = jnp.clip(jnp.trunc(seed_v).astype(jnp.int32), -B, B)
+    ax0 = jnp.clip(jnp.trunc(seed_u).astype(jnp.int32), -B, B)
+    aye = jnp.zeros((bsz, hp, wp), jnp.int32)
+    aye = jax.lax.dynamic_update_slice(aye, ay0, (0, 0, 0))
+    axe = jnp.zeros((bsz, hp, wp), jnp.int32)
+    axe = jax.lax.dynamic_update_slice(axe, ax0, (0, 0, 0))
+
+    kernel = _make_me_seeded_kernel(
+        steps, bh, wp, pm, vmax, B, nxmax, costfn
+    )
+    u, v = pl.pallas_call(
+        kernel,
+        grid=(bsz, hp // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f0_rows, wp), jnp.int32),
+            pltpu.VMEM((f1_rows, wp), jnp.int32),
+            pltpu.VMEM((2 * vmax + 1, f1_rows, wp), jnp.int32),
+            pltpu.VMEM((3, nxmax, bh, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
+        interpret=interpret,
+    )(f0e, f1e, aye, axe)
+    du = u[:, :h, :w]
+    dv = v[:, :h, :w]
+    if seed_mode == "shipped":
+        out = jnp.stack([seed_u + du, seed_v + dv], axis=-1)
+    else:
+        out = jnp.stack([du, dv], axis=-1)
+    return out[0] if squeeze else out
+
+
+def me_exact_pallas_seeded_supported(
+    search_size: int, patch_size: int, costfn: str, seed_bound: int
+) -> bool:
+    """Geometry gate for the seeded kernel: SAD/SSD, a step schedule,
+    and a bounded clamp (rot + R scratches scale with the bound)."""
+    if costfn not in ("sad", "ssd"):
+        return False
+    if not (0 < int(seed_bound) <= 16):
+        return False
+    return bool(me_steps(search_size, patch_size))
 
 
 def me_exact_pallas_supported(

@@ -529,3 +529,127 @@ class TestMeExactKernel:
         )
         with pytest.raises(RuntimeError, match="boom"):
             estimate_motion_vector(g0, g1, 15, 5, method="exact")
+
+
+class TestMeExactSeededKernel:
+    """Seeded fused exact search (ops/pallas/me_pallas.py
+    me_exact_pallas_seeded): bit-identical to the clamped-base XLA twin
+    _estimate_2d_smap_seeded across geometries, costs, seed modes,
+    bounds, and batches (transitively bit-identical to oracle/motion
+    whenever |trunc(seed)| <= seed_bound)."""
+
+    @pytest.mark.parametrize(
+        "ss,ps,h,w,costfn,mode,B",
+        [
+            (15, 5, 48, 70, "sad", "shipped", 8),   # pyramid defaults
+            (15, 5, 33, 129, "sad", "fresh", 8),    # odd rows, 2 lane tiles
+            (9, 3, 40, 56, "ssd", "shipped", 8),    # two rounds, ssd
+            (15, 5, 30, 40, "sad", "shipped", 12),  # wider clamp
+        ],
+    )
+    def test_bit_identical_to_xla_twin(self, rng, ss, ps, h, w, costfn, mode, B):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.motion import _estimate_2d_smap_seeded
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_seeded,
+            me_exact_pallas_seeded_supported,
+        )
+
+        assert me_exact_pallas_seeded_supported(ss, ps, costfn, B)
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        # seeds straddling the clamp (|seed| up to 1.5x the bound)
+        seed = rng.uniform(-1.5 * B, 1.5 * B, (h, w, 2)).astype(np.float32)
+        ref = np.asarray(
+            _estimate_2d_smap_seeded(
+                jnp.asarray(g0), jnp.asarray(g1), jnp.asarray(seed),
+                ss, ps, mode, costfn, B,
+            )
+        )
+        got = np.asarray(
+            me_exact_pallas_seeded(
+                g0, g1, seed, ss, ps, costfn, mode, B, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_batched_real_content(self, rng):
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.motion import _estimate_2d_smap_seeded
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_seeded,
+        )
+        from oclcomputervision_tpu.utils import load_gray
+
+        f10 = np.asarray(load_gray("frame10.png"))[::4, ::4]
+        f11 = np.asarray(load_gray("frame11.png"))[::4, ::4]
+        b0, b1 = np.stack([f10, f11]), np.stack([f11, f10])
+        seed = rng.uniform(-6, 6, b0.shape + (2,)).astype(np.float32)
+        got = np.asarray(
+            me_exact_pallas_seeded(b0, b1, seed, 15, 5, interpret=True)
+        )
+        for i in range(2):
+            ref = np.asarray(
+                _estimate_2d_smap_seeded(
+                    jnp.asarray(b0[i]), jnp.asarray(b1[i]),
+                    jnp.asarray(seed[i]), 15, 5, "shipped", "sad", 8,
+                )
+            )
+            np.testing.assert_array_equal(got[i], ref)
+
+    def test_geometry_gate(self):
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_seeded_supported,
+        )
+
+        assert me_exact_pallas_seeded_supported(15, 5, "sad", 8)
+        assert me_exact_pallas_seeded_supported(15, 5, "ssd", 16)
+        assert not me_exact_pallas_seeded_supported(15, 5, "wsad", 8)
+        assert not me_exact_pallas_seeded_supported(15, 5, "sad", 24)
+        assert not me_exact_pallas_seeded_supported(5, 5, "sad", 8)  # no steps
+
+    def test_scoped_vmem_overflow_degrades_to_xla(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.motion import (
+            _estimate_2d_smap_seeded,
+            estimate_motion_vector,
+        )
+        from oclcomputervision_tpu.ops.pallas import me_pallas
+
+        g0 = rng.integers(0, 256, (40, 60)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (40, 60)).astype(np.uint8)
+        seed = rng.uniform(-4, 4, (40, 60, 2)).astype(np.float32)
+        want = np.asarray(
+            _estimate_2d_smap_seeded(
+                jnp.asarray(g0), jnp.asarray(g1), jnp.asarray(seed),
+                15, 5, "shipped", "sad", 8,
+            )
+        )
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            me_pallas,
+            "me_exact_pallas_seeded",
+            lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("RESOURCE_EXHAUSTED: scoped vmem limit")
+            ),
+        )
+        with pytest.warns(RuntimeWarning, match="scoped VMEM"):
+            got = estimate_motion_vector(
+                g0, g1, 15, 5, seed=seed, method="exact", seed_bound=8
+            )
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+        monkeypatch.setattr(
+            me_pallas,
+            "me_exact_pallas_seeded",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            estimate_motion_vector(
+                g0, g1, 15, 5, seed=seed, method="exact", seed_bound=8
+            )
