@@ -241,6 +241,11 @@ def bench_me_epe(jax, jnp):
         flows = estimate_motion_pyramid(g0, g1, 3, method=mode, smooth=9)
         e = float(epe(np.asarray(flows[-1]), gt))
         _emit(f"me_{mode}_pyramid_epe", e, unit="px (lower is better)", vs=zero / e)
+    # quality extension: 12 rounds of median-regularized equiangular
+    # subpixel refinement per level (refine_flow_subpixel)
+    flows = estimate_motion_pyramid(g0, g1, 3, method="exact", smooth=9, subpixel=12)
+    e = float(epe(np.asarray(flows[-1]), gt))
+    _emit("me_exact_subpixel_pyramid_epe", e, unit="px (lower is better)", vs=zero / e)
 
 
 def main():

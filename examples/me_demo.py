@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--method", default="exact", choices=["exact", "fast"])
     ap.add_argument("--smooth", type=int, default=0,
                     help="median-filter kernel between levels (0=off; 9 halves EPE)")
+    ap.add_argument("--subpixel", type=int, default=0,
+                    help="rounds of (equiangular subpixel refine -> median) per "
+                         "level (0=off; 12 cuts EPE a further ~35%% over --smooth 9)")
     ap.add_argument("--outdir", default="/tmp")
     ap.add_argument("--probe", type=int, nargs=2, metavar=("Y", "X"),
                     help="also write the zoomed search view at this pixel")
@@ -40,7 +43,7 @@ def main():
 
     flows, ms = timed(
         estimate_motion_pyramid, g0, g1, args.levels, 15, 5, args.seed_mode,
-        args.method, args.smooth,
+        args.method, args.smooth, subpixel=args.subpixel,
     )
     print(f"{args.levels}-level pyramid flow: {ms:.1f} ms (incl. compile)")
 
