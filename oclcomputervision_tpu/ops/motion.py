@@ -501,23 +501,32 @@ def _estimate_2d_fast(
         rb = sum(steps)  # exact residual bound (see docstring)
         f1pad = jnp.pad(base1.astype(pix_dt), rb)
 
-    def warp(ry, rx):
+    def warp(ry, rx, vals):
         if warp_bound is None:
             return _gather_padded_u8(gray1, ys + ry, xs + rx).astype(pix_dt)
-        mx = [rx == v for v in range(-rb, rb + 1)]
+        # the residual state provably stays in this round's reachable
+        # set ``vals`` (it starts at 0; each update adds -step/0/step
+        # and the median-of-9 SELECTS one of its inputs), so the
+        # masked-shift select only needs |vals|^2 terms, not the full
+        # (2 rb + 1)^2 square: 0 + 9 + 81 selects across the 15/5
+        # rounds instead of 3 x 289 (dropped terms have all-false
+        # masks and add exactly 0 - bit-identical)
+        if vals == [0]:
+            return jax.lax.slice(f1pad, (rb, rb), (rb + h, rb + w))
+        mx = {v: rx == v for v in vals}
         w1 = jnp.zeros((h, w), pix_dt)
-        for vy in range(-rb, rb + 1):
+        for vy in vals:
             inner = jnp.zeros((h, w), pix_dt)
-            for ix, vx in enumerate(range(-rb, rb + 1)):
+            for vx in vals:
                 sl = jax.lax.slice(
                     f1pad, (rb + vy, rb + vx), (rb + vy + h, rb + vx + w)
                 )
-                inner = inner + jnp.where(mx[ix], sl, 0)
+                inner = inner + jnp.where(mx[vx], sl, 0)
             w1 = w1 + jnp.where(ry == vy, inner, 0)
         return w1
 
-    for step in steps:
-        w1 = warp(dy, dx)
+    for step, vals in zip(steps, _reachable_sets(steps)):
+        w1 = warp(dy, dx, vals)
         w1p = jnp.pad(w1, ((step, step), (step, step)))
         sads = []
         for iy, oy in enumerate((-step, 0, step)):
