@@ -753,6 +753,37 @@ def estimate_motion_vector(
             return _estimate_2d_smap_seeded(
                 gray0, gray1, sd, search_size, patch_size, seed_mode, costfn, sb
             )
+    if method == "fast" and wb is not None and costfn in ("sad", "ssd"):
+        from oclcomputervision_tpu.ops.pallas.me_fast_pallas import (
+            me_fast_pallas_supported,
+        )
+
+        if jax.default_backend() == "tpu" and me_fast_pallas_supported(
+            search_size, patch_size, costfn
+        ):
+            # fused band-resident Pallas iteration (bit-identical to
+            # _estimate_2d_fast's masked-shift loop; see
+            # ops/pallas/me_fast_pallas.py)
+            try:
+                return _fast_pallas(
+                    gray0, gray1,
+                    jnp.asarray(seed) if has_seed else None,
+                    search_size, patch_size, seed_mode, wb, costfn,
+                )
+            except Exception as e:  # Mosaic scoped-vmem OOM -> XLA twin
+                if (
+                    "vmem" not in str(e).lower()
+                    and "scoped" not in str(e).lower()
+                ):
+                    raise
+                import warnings
+
+                warnings.warn(
+                    "fast-ME Pallas kernel exceeded scoped VMEM at this "
+                    f"geometry ({gray0.shape}); falling back to the XLA "
+                    f"masked-shift path: {e}",
+                    RuntimeWarning,
+                )
     if method == "fast":
         impl = functools.partial(_estimate_2d_fast, warp_bound=wb)
     else:
@@ -765,6 +796,72 @@ def estimate_motion_vector(
             )
         )(gray0, gray1, s if has_seed else jnp.zeros((gray0.shape[0], 1), jnp.float32))
     return impl(gray0, gray1, s, search_size, patch_size, seed_mode, has_seed, costfn)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_size", "patch_size", "seed_mode", "warp_bound", "costfn",
+        "interpret",
+    ),
+)
+def _fast_pallas(
+    gray0,
+    gray1,
+    seed,
+    search_size: int,
+    patch_size: int,
+    seed_mode: str,
+    warp_bound: int,
+    costfn: str,
+    interpret: bool = False,
+):
+    """Fast mode through the fused Pallas kernel: the seed base is
+    gather-warped once here (exactly _estimate_2d_fast's base prep,
+    incl. the warp_bound >= 0 legacy clamp), the bounded residual
+    iteration runs in ops/pallas/me_fast_pallas.py, and the base/seed
+    recombination matches _estimate_2d_fast:541-550."""
+    from oclcomputervision_tpu.ops.pallas.me_fast_pallas import (
+        me_fast_residual_pallas,
+    )
+
+    gray0 = jnp.asarray(gray0)
+    gray1 = jnp.asarray(gray1)
+    squeeze = gray0.ndim == 2
+    if squeeze:
+        gray0, gray1 = gray0[None], gray1[None]
+        if seed is not None:
+            seed = seed[None]
+    bsz, h, w = gray0.shape
+    if seed is not None:
+        seed_u = seed[..., 0].astype(jnp.float32)
+        seed_v = seed[..., 1].astype(jnp.float32)
+        base_y = jnp.trunc(seed_v).astype(jnp.int32)
+        base_x = jnp.trunc(seed_u).astype(jnp.int32)
+        if warp_bound >= 0:
+            base_y = jnp.clip(base_y, -warp_bound, warp_bound)
+            base_x = jnp.clip(base_x, -warp_bound, warp_bound)
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base1 = jax.vmap(
+            lambda g1, by, bx: _gather_padded_u8(
+                g1, ys.astype(jnp.int32) + by, xs.astype(jnp.int32) + bx
+            )
+        )(gray1, base_y, base_x)
+    else:
+        seed_u = seed_v = jnp.zeros((bsz, h, w), jnp.float32)
+        base_y = base_x = jnp.zeros((bsz, h, w), jnp.int32)
+        base1 = gray1
+    res = me_fast_residual_pallas(
+        gray0, base1, search_size, patch_size, costfn, interpret=interpret
+    )
+    du = base_x.astype(jnp.float32) + res[..., 0]
+    dv = base_y.astype(jnp.float32) + res[..., 1]
+    if seed_mode == "shipped":
+        u, v = seed_u + du, seed_v + dv
+    else:
+        u, v = du, dv
+    out = jnp.stack([u, v], axis=-1)
+    return out[0] if squeeze else out
 
 
 def _halfpixel_taps(n_out: int, n_in: int):

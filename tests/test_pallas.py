@@ -653,3 +653,146 @@ class TestMeExactSeededKernel:
             estimate_motion_vector(
                 g0, g1, 15, 5, seed=seed, method="exact", seed_bound=8
             )
+
+
+class TestMeFastKernel:
+    """Fused fast-mode kernel (ops/pallas/me_fast_pallas.py): the
+    masked-shift residual iteration, bit-identical to the XLA twin
+    _estimate_2d_fast across geometries, seeds, bounds, and batches."""
+
+    @pytest.mark.parametrize(
+        "ss,ps,h,w,costfn",
+        [
+            (15, 5, 48, 70, "sad"),   # pyramid defaults
+            (15, 5, 33, 129, "ssd"),  # odd rows, 2 lane tiles
+            (9, 3, 40, 56, "sad"),    # two rounds, small patch
+            (7, 5, 24, 40, "sad"),    # single round
+        ],
+    )
+    def test_unseeded_bit_identical(self, rng, ss, ps, h, w, costfn):
+        from oclcomputervision_tpu.ops.motion import (
+            _fast_pallas,
+            estimate_motion_vector,
+        )
+        from oclcomputervision_tpu.ops.pallas.me_fast_pallas import (
+            me_fast_pallas_supported,
+        )
+
+        assert me_fast_pallas_supported(ss, ps, costfn)
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ref = np.asarray(
+            estimate_motion_vector(
+                g0, g1, ss, ps, method="fast", costfn=costfn, warp_bound=8
+            )
+        )
+        got = np.asarray(
+            _fast_pallas(
+                g0, g1, None, ss, ps, "shipped", 8, costfn, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("wb", [8, -1])
+    def test_seeded_bit_identical(self, rng, wb):
+        # wb=8: the legacy one-time base clamp; wb=-1 ('auto' on TPU):
+        # the unclamped one-time base gather. Reference is the XLA
+        # masked-shift twin at the SAME bound (the per-round 'gather'
+        # path differs by design for spatially varying seeds - it
+        # re-evaluates the base at the shifted pixel)
+        import warnings
+
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.motion import (
+            _estimate_2d_fast,
+            _fast_pallas,
+        )
+
+        h, w = 40, 60
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        seed = rng.uniform(-12, 12, (h, w, 2)).astype(np.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ref = np.asarray(
+                _estimate_2d_fast(
+                    jnp.asarray(g0), jnp.asarray(g1), jnp.asarray(seed),
+                    15, 5, "shipped", True, "sad", warp_bound=wb,
+                )
+            )
+        got = np.asarray(
+            _fast_pallas(
+                g0, g1, seed, 15, 5, "shipped", wb, "sad", interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_batched_real_content(self, rng):
+        from oclcomputervision_tpu.ops.motion import (
+            _fast_pallas,
+            estimate_motion_vector,
+        )
+        from oclcomputervision_tpu.utils import load_gray
+
+        f10 = np.asarray(load_gray("frame10.png"))[::4, ::4]
+        f11 = np.asarray(load_gray("frame11.png"))[::4, ::4]
+        b0, b1 = np.stack([f10, f11]), np.stack([f11, f10])
+        got = np.asarray(
+            _fast_pallas(b0, b1, None, 15, 5, "shipped", 8, "sad", interpret=True)
+        )
+        for i in range(2):
+            ref = np.asarray(
+                estimate_motion_vector(
+                    b0[i], b1[i], 15, 5, method="fast", warp_bound=8
+                )
+            )
+            np.testing.assert_array_equal(got[i], ref)
+
+    def test_geometry_gate(self):
+        from oclcomputervision_tpu.ops.pallas.me_fast_pallas import (
+            me_fast_pallas_supported,
+        )
+
+        assert me_fast_pallas_supported(15, 5, "sad")
+        assert me_fast_pallas_supported(15, 5, "ssd")
+        assert not me_fast_pallas_supported(15, 5, "wsad")
+        assert not me_fast_pallas_supported(21, 5, "sad")  # step 8 > slack
+        assert not me_fast_pallas_supported(5, 5, "sad")   # no steps
+
+    def test_scoped_vmem_overflow_degrades_to_xla(self, rng, monkeypatch):
+        import jax
+
+        from oclcomputervision_tpu.ops import motion
+
+        g0 = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        want = np.asarray(
+            motion.estimate_motion_vector(
+                g0, g1, 15, 5, method="fast", warp_bound=8
+            )
+        )
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            motion,
+            "_fast_pallas",
+            lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("RESOURCE_EXHAUSTED: scoped vmem limit")
+            ),
+        )
+        with pytest.warns(RuntimeWarning, match="scoped VMEM"):
+            got = motion.estimate_motion_vector(
+                g0, g1, 15, 5, method="fast", warp_bound=8
+            )
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+        monkeypatch.setattr(
+            motion,
+            "_fast_pallas",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            motion.estimate_motion_vector(
+                g0, g1, 15, 5, method="fast", warp_bound=8
+            )
