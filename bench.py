@@ -202,7 +202,9 @@ def bench_me(jax, jnp):
     h, w = g0.shape
     rng = np.random.default_rng(0)
 
-    for mode, batch, n_scan in (("fast", 16, 8), ("exact", 8, 4)):
+    # fast runs ~8 ms/batch since the fused Pallas kernel - scan 16
+    # batches per dispatch so the ~13 ms tunnel dispatch stays < 10%
+    for mode, batch, n_scan in (("fast", 16, 16), ("exact", 8, 4)):
         def make_buf(r):
             # unique content: additive noise over the Middlebury pair
             stack0, stack1 = [], []

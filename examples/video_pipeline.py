@@ -28,7 +28,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
 
     from oclcomputervision_tpu.ops.histeq import histeq_global
-    from oclcomputervision_tpu.ops.motion import _estimate_2d_fast
+    from oclcomputervision_tpu.ops.motion import estimate_motion_vector
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=64)
@@ -71,7 +71,7 @@ def main():
     @jax.jit
     def per_frame(prev, cur, acc):
         eq = histeq_global(cur)
-        mv = _estimate_2d_fast(prev, cur, jnp.zeros(1), 15, 5, "fixed", False)
+        mv = estimate_motion_vector(prev, cur, 15, 5, method="fast")
         return acc + jnp.sum(eq, dtype=jnp.float32) + jnp.sum(mv)
 
     # warmup/compile
