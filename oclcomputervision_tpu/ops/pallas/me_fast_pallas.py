@@ -280,6 +280,10 @@ def me_fast_residual_pallas(
     steps = me_steps(search_size, patch_size)
     G, VM, union = _fast_geometry(steps, patch_size)
 
+    # wrap junk from the rot staging occupies <= 2*VM lanes at the
+    # array tail and creeps inward <= G columns over the rounds; the
+    # gate (max step <= 8 - pm) bounds the worst case at exactly 40
+    assert 2 * VM + G <= _CM, (VM, G, _CM)
     wp = -(-(w + 2 * _CM) // 128) * 128
     bh = _pick_bh(h, wp, steps, patch_size)
     hp = -(-h // bh) * bh
