@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from oclcomputervision_tpu.oracle.motion import gaussian2d, me_steps
+from oclcomputervision_tpu.oracle.motion import MEDIAN9_EXCHANGES, gaussian2d, me_steps
 
 
 def _cost(patches, cand, costfn: str, patch_size: int):
@@ -476,11 +476,7 @@ def _estimate_2d_fast(
             v[j] = jnp.maximum(v[i], v[j])
             v[i] = lo
 
-        for i, j in (
-            (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
-            (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
-            (4, 2), (6, 4), (4, 2),
-        ):
+        for i, j in MEDIAN9_EXCHANGES:
             cx(i, j)
         return v[4]
 
@@ -557,6 +553,29 @@ def _estimate_2d_fast(
     else:
         u, v = du, dv
     return jnp.stack([u, v], axis=-1)
+
+
+def _vmem_fallback_warn(e: Exception, kernel: str, shape, fallback: str):
+    """Re-raise unless ``e`` is a Mosaic scoped-vmem overflow; else warn
+    (the caller then falls through to its XLA twin).
+
+    This protection only works for EAGER calls: under an enclosing
+    jax.jit the Mosaic compile happens after tracing returns, so an
+    overflow at an uncalibrated geometry would surface at the outer
+    jit's compile instead. The kernels' geometry gates and
+    hardware-calibrated VMEM budgets are sized so that does not happen
+    in practice.
+    """
+    if "vmem" not in str(e).lower() and "scoped" not in str(e).lower():
+        raise e
+    import warnings
+
+    warnings.warn(
+        f"{kernel} Pallas kernel exceeded scoped VMEM at this geometry "
+        f"({shape}); falling back to the {fallback}: {e}",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _warn_seed_saturation(seed, bound, what):
@@ -656,19 +675,7 @@ def estimate_motion_vector(
                     gray0, gray1, search_size, patch_size, costfn
                 )
             except Exception as e:  # Mosaic scoped-vmem OOM -> XLA twin
-                if (
-                    "vmem" not in str(e).lower()
-                    and "scoped" not in str(e).lower()
-                ):
-                    raise
-                import warnings
-
-                warnings.warn(
-                    "exact-ME Pallas kernel exceeded scoped VMEM at this "
-                    f"geometry ({gray0.shape}); falling back to the XLA "
-                    f"S-map path: {e}",
-                    RuntimeWarning,
-                )
+                _vmem_fallback_warn(e, "exact-ME", gray0.shape, "XLA S-map path")
         # gather-free exact search (bit-identical, ~300x faster than
         # the windowed gather)
         if gray0.ndim == 3:
@@ -700,6 +707,31 @@ def estimate_motion_vector(
         and costfn in ("sad", "ssd")
         and _smap_count(steps) <= 1500
     ):
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_seeded,
+            me_exact_pallas_seeded_supported,
+        )
+
+        sd = jnp.asarray(seed)
+        if (
+            jax.default_backend() == "tpu"
+            and me_exact_pallas_seeded_supported(
+                search_size, patch_size, costfn, sb
+            )
+        ):
+            # fused band-resident Pallas search: 9.7 ms/VGA frame
+            # device vs ~33 for the XLA S-map stack (bit-identical).
+            # No HBM budget gate applies - the bands live in VMEM
+            _warn_seed_saturation(seed, sb, "seed_bound")
+            try:
+                return me_exact_pallas_seeded(
+                    gray0, gray1, sd, search_size, patch_size,
+                    costfn, seed_mode, sb,
+                )
+            except Exception as e:  # Mosaic scoped-vmem OOM -> XLA
+                _vmem_fallback_warn(
+                    e, "seeded exact-ME", gray0.shape, "XLA S-map path"
+                )
         rel_max = max(
             abs(v + o * st)
             for st, vals in zip(steps, _reachable_sets(steps))
@@ -708,41 +740,8 @@ def estimate_motion_vector(
         )
         nmaps = (2 * (sb + rel_max) + 1) ** 2
         hw = gray0.shape[-2] * gray0.shape[-1]
-        if nmaps * hw * 4 <= 6e9:  # live S-map stack budget (HBM)
+        if nmaps * hw * 4 <= 6e9:  # live S-map stack budget (HBM only)
             _warn_seed_saturation(seed, sb, "seed_bound")
-            sd = jnp.asarray(seed)
-            from oclcomputervision_tpu.ops.pallas.me_pallas import (
-                me_exact_pallas_seeded,
-                me_exact_pallas_seeded_supported,
-            )
-
-            if (
-                jax.default_backend() == "tpu"
-                and me_exact_pallas_seeded_supported(
-                    search_size, patch_size, costfn, sb
-                )
-            ):
-                # fused band-resident Pallas search: 9.7 ms/VGA frame
-                # device vs ~33 for the XLA S-map stack (bit-identical)
-                try:
-                    return me_exact_pallas_seeded(
-                        gray0, gray1, sd, search_size, patch_size,
-                        costfn, seed_mode, sb,
-                    )
-                except Exception as e:  # Mosaic scoped-vmem OOM -> XLA
-                    if (
-                        "vmem" not in str(e).lower()
-                        and "scoped" not in str(e).lower()
-                    ):
-                        raise
-                    import warnings
-
-                    warnings.warn(
-                        "seeded exact-ME Pallas kernel exceeded scoped "
-                        f"VMEM at this geometry ({gray0.shape}); falling "
-                        f"back to the XLA S-map path: {e}",
-                        RuntimeWarning,
-                    )
             if gray0.ndim == 3:
                 return jax.vmap(
                     lambda g0, g1, s_: _estimate_2d_smap_seeded(
@@ -771,18 +770,8 @@ def estimate_motion_vector(
                     search_size, patch_size, seed_mode, wb, costfn,
                 )
             except Exception as e:  # Mosaic scoped-vmem OOM -> XLA twin
-                if (
-                    "vmem" not in str(e).lower()
-                    and "scoped" not in str(e).lower()
-                ):
-                    raise
-                import warnings
-
-                warnings.warn(
-                    "fast-ME Pallas kernel exceeded scoped VMEM at this "
-                    f"geometry ({gray0.shape}); falling back to the XLA "
-                    f"masked-shift path: {e}",
-                    RuntimeWarning,
+                _vmem_fallback_warn(
+                    e, "fast-ME", gray0.shape, "XLA masked-shift path"
                 )
     if method == "fast":
         impl = functools.partial(_estimate_2d_fast, warp_bound=wb)

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from oclcomputervision_tpu.oracle.motion import me_steps
+from oclcomputervision_tpu.oracle.motion import MEDIAN9_EXCHANGES, me_steps
 from oclcomputervision_tpu.ops.pallas.me_pallas import _reachable_sets
 
 # column margin: rot wrap junk (<= 2*VM lanes) + the per-round garbage
@@ -182,11 +182,7 @@ def _make_fast_kernel(steps, bh, wp, pm, h, w, costfn):
                 v[b_] = jnp.maximum(v[a_], v[b_])
                 v[a_] = lo
 
-            for a_, b_ in (
-                (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
-                (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
-                (2, 5), (4, 7), (4, 2), (6, 4), (4, 2),
-            ):
+            for a_, b_ in MEDIAN9_EXCHANGES:
                 cx(a_, b_)
             return v[4]
 
@@ -340,11 +336,17 @@ def me_fast_residual_pallas(
 def me_fast_pallas_supported(
     search_size: int, patch_size: int, costfn: str
 ) -> bool:
-    """Dispatcher gate: SAD/SSD, a step schedule, and slice offsets
-    that stay non-negative (8 - pm - max step >= 0)."""
+    """Dispatcher gate: SAD/SSD, a step schedule, slice offsets that
+    stay non-negative (8 - pm - max step >= 0), and a reachable-set
+    footprint whose wrap junk + garbage creep fits the column margin
+    (2*VM + G <= _CM; e.g. search 16 / patch 1 gives steps [8,4,2,1]
+    with 2*14 + 20 = 48 > 40 and must fall back to XLA)."""
     if costfn not in ("sad", "ssd"):
         return False
     steps = me_steps(search_size, patch_size)
     if not steps:
         return False
-    return 8 - patch_size // 2 - max(steps) >= 0
+    if 8 - patch_size // 2 - max(steps) < 0:
+        return False
+    G, VM, _ = _fast_geometry(steps, patch_size)
+    return 2 * VM + G <= _CM

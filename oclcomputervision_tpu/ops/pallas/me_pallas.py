@@ -260,8 +260,7 @@ def me_exact_pallas(
 
 
 def _make_me_seeded_kernel(
-    steps, bh: int, wp: int, pm: int, vmax: int, B: int, nxmax: int,
-    costfn: str,
+    steps, bh: int, wp: int, pm: int, vmax: int, B: int, costfn: str,
 ):
     """Seeded twin of _make_me_kernel (pyramid levels > 0).
 
@@ -452,9 +451,7 @@ def me_exact_pallas_seeded(
     axe = jnp.zeros((bsz, hp, wp), jnp.int32)
     axe = jax.lax.dynamic_update_slice(axe, ax0, (0, 0, 0))
 
-    kernel = _make_me_seeded_kernel(
-        steps, bh, wp, pm, vmax, B, nxmax, costfn
-    )
+    kernel = _make_me_seeded_kernel(steps, bh, wp, pm, vmax, B, costfn)
     u, v = pl.pallas_call(
         kernel,
         grid=(bsz, hp // bh),

@@ -60,6 +60,17 @@ def patch_cost(p0: np.ndarray, p1: np.ndarray, costfn: str = "sad") -> np.ndarra
     raise ValueError(f"unknown costfn {costfn!r}")
 
 
+# Paeth's 19-exchange median-of-9 sorting network (exchange pairs).
+# Shared by the XLA fast path (ops/motion.median3x3) and the fused
+# Pallas fast kernel (ops/pallas/me_fast_pallas.py) - the two must stay
+# identical, it encodes part of their bit-identity contract.
+MEDIAN9_EXCHANGES = (
+    (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+    (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+    (4, 2), (6, 4), (4, 2),
+)
+
+
 def me_steps(search_size: int, patch_size: int):
     """Shrinking step schedule: searchMargin-patchMargin, halving to 1."""
     step = search_size // 2 - patch_size // 2

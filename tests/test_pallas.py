@@ -796,3 +796,49 @@ class TestMeFastKernel:
             motion.estimate_motion_vector(
                 g0, g1, 15, 5, method="fast", warp_bound=8
             )
+
+    def test_multi_band_bit_identical(self, rng, monkeypatch):
+        # every other geometry here resolves to a single band; force
+        # tiny bands so the riskiest logic (G-halo accounting, garbage
+        # creep isolation, r0-dependent global-row median masks, band
+        # DMA offsets) is actually exercised across band seams
+        from oclcomputervision_tpu.ops.motion import (
+            _fast_pallas,
+            estimate_motion_vector,
+        )
+        from oclcomputervision_tpu.ops.pallas import me_fast_pallas as mod
+
+        monkeypatch.setattr(mod, "_VMEM_BUDGET", 0)  # _pick_bh -> 8
+        h, w = 64, 70
+        wp = -(-(w + 80) // 128) * 128
+        assert mod._pick_bh(h, wp, [5, 2, 1], 5) == 8  # 8 bands
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ref = np.asarray(
+            estimate_motion_vector(g0, g1, 15, 5, method="fast", warp_bound=8)
+        )
+        got = np.asarray(
+            _fast_pallas(g0, g1, None, 15, 5, "shipped", 8, "sad", interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_gate_rejects_margin_overflow(self, rng, monkeypatch):
+        # search 16 / patch 1 -> steps [8,4,2,1]: slice offsets fit
+        # (8 - 0 - 8 = 0) but 2*VM + G = 48 > _CM = 40; the gate must
+        # reject it so the public API falls back to XLA instead of
+        # tripping the kernel's margin assert on TPU
+        import jax
+
+        from oclcomputervision_tpu.ops import motion
+        from oclcomputervision_tpu.ops.pallas.me_fast_pallas import (
+            me_fast_pallas_supported,
+        )
+
+        assert not me_fast_pallas_supported(16, 1, "sad")
+        g0 = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        # must not raise (and must not try the Pallas kernel at all)
+        motion.estimate_motion_vector(
+            g0, g1, 16, 1, method="fast", warp_bound=8
+        )
