@@ -883,9 +883,13 @@ def upscale_mv(mv: jnp.ndarray, scale: int, mode: str = "shipped") -> jnp.ndarra
 
     'shipped' reproduces the reference's max-normalized resize (wrong for
     all-negative components, div-by-zero if max==0 - fidelity note 8);
-    'fixed' resizes and scales directly.
+    'fixed' resizes and scales directly. Accepts [H, W, 2] or batched
+    [B, H, W, 2] (per-frame max-normalization, matching the reference's
+    single-frame semantics).
     """
     mv = jnp.asarray(mv)
+    if mv.ndim == 4:
+        return jax.vmap(lambda m: upscale_mv(m, scale, mode))(mv)
     h, w = mv.shape[:2]
     out_hw = (h * scale, w * scale)
     u = mv[..., 0].astype(jnp.float32)
@@ -905,12 +909,16 @@ def upscale_mv(mv: jnp.ndarray, scale: int, mode: str = "shipped") -> jnp.ndarra
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def median_filter_flow(mv: jnp.ndarray, k: int = 5) -> jnp.ndarray:
-    """k x k per-component median filter of a [H, W, 2] flow field.
+    """k x k per-component median filter of a [H, W, 2] (or batched
+    [B, H, W, 2]) flow field.
 
     Per-pixel integer SAD matching is noisy (the reference never
     regularized it); a median between pyramid levels roughly HALVES the
     endpoint error on the Middlebury pair (7.6 -> 3.4 EPE at k=9).
     """
+    mv = jnp.asarray(mv)
+    if mv.ndim == 4:
+        return jax.vmap(lambda m: median_filter_flow(m, k))(mv)
     h, w = mv.shape[:2]
     p = jnp.pad(mv, ((k // 2, k // 2), (k // 2, k // 2), (0, 0)), mode="edge")
     stack = jnp.stack(
@@ -1027,7 +1035,9 @@ def estimate_motion_pyramid(
     subpixel: int = 0,
 ):
     """Coarse-to-fine driver (me_test.py:76-90): returns per-level flows,
-    index 0 = coarsest, last = full resolution.
+    index 0 = coarsest, last = full resolution. Accepts [H, W] frames or
+    batched [B, H, W] stacks (per-level flows come back [B, h, w, 2]) -
+    batching amortizes the per-level dispatches for serving.
 
     ``smooth`` > 0 median-filters each level's flow (kernel size
     ``smooth``) before seeding the next level and on the final output -
@@ -1052,8 +1062,17 @@ def estimate_motion_pyramid(
     """
     from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
 
-    pyr0 = gaussian_pyramid(gray0, 2, levels)
-    pyr1 = gaussian_pyramid(gray1, 2, levels)
+    gray0 = jnp.asarray(gray0)
+    gray1 = jnp.asarray(gray1)
+    if gray0.ndim == 3:
+        # gaussian_pyramid's 3-D convention is [H, W, C]; map over the
+        # batch axis explicitly (its level list is a pytree)
+        batch_pyr = jax.vmap(lambda g: tuple(gaussian_pyramid(g, 2, levels)))
+        pyr0 = list(batch_pyr(gray0))
+        pyr1 = list(batch_pyr(gray1))
+    else:
+        pyr0 = gaussian_pyramid(gray0, 2, levels)
+        pyr1 = gaussian_pyramid(gray1, 2, levels)
     flows = []
     seed = None
     for lv in range(levels):

@@ -420,3 +420,48 @@ class TestSubpixel:
         # measured 1.85 vs 2.36 at 3 rounds (k=12 converges at 1.50);
         # require a solid margin, not just "less than"
         assert epe(mv_s, gt) < 0.9 * epe(mv_i, gt)
+
+
+class TestBatchedPyramid:
+    def test_batched_matches_per_item(self, frames_gray):
+        import cv2
+
+        g0, g1 = frames_gray
+        a0 = cv2.pyrDown(cv2.pyrDown(g0))
+        a1 = cv2.pyrDown(cv2.pyrDown(g1))
+        b0 = np.stack([a0, a1])  # second pair = reversed direction
+        b1 = np.stack([a1, a0])
+        kw = dict(seed_mode="fixed", method="fast", smooth=5, subpixel=2)
+        got = ops.estimate_motion_pyramid(b0, b1, 2, **kw)
+        for i in range(2):
+            want = ops.estimate_motion_pyramid(b0[i], b1[i], 2, **kw)
+            for lv in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(got[lv][i]), np.asarray(want[lv])
+                )
+
+    def test_batched_exact_matches_per_item(self, frames_gray):
+        import cv2
+
+        g0, g1 = frames_gray
+        a0 = cv2.pyrDown(cv2.pyrDown(cv2.pyrDown(g0)))
+        a1 = cv2.pyrDown(cv2.pyrDown(cv2.pyrDown(g1)))
+        b0, b1 = np.stack([a0, a1]), np.stack([a1, a0])
+        got = ops.estimate_motion_pyramid(b0, b1, 2, seed_mode="fixed")
+        for i in range(2):
+            want = ops.estimate_motion_pyramid(b0[i], b1[i], 2, seed_mode="fixed")
+            np.testing.assert_array_equal(
+                np.asarray(got[-1][i]), np.asarray(want[-1])
+            )
+
+    def test_batched_helpers_match_per_item(self, rng):
+        mv = rng.uniform(-5, 5, (2, 24, 32, 2)).astype(np.float32)
+        up = np.asarray(ops.upscale_mv(mv, 2, mode="fixed"))
+        med = np.asarray(ops.median_filter_flow(mv, 3))
+        for i in range(2):
+            np.testing.assert_array_equal(
+                up[i], np.asarray(ops.upscale_mv(mv[i], 2, mode="fixed"))
+            )
+            np.testing.assert_array_equal(
+                med[i], np.asarray(ops.median_filter_flow(mv[i], 3))
+            )
