@@ -48,6 +48,34 @@ from oclcomputervision_tpu.oracle.motion import me_steps
 BAND_H = 32  # output rows per grid step
 
 
+def _make_boxsum(patch: int, bh: int, f0_rows: int, wp: int):
+    """patch x patch box sum: [f0_rows, wp] diff rows -> [bh, wp]
+    patch sums at offset 0 (S(y, x) = sum_{k,j < patch} d[y+k, x+j]).
+    Row sums use sublane value slices, column sums lane rolls; the
+    left-shift by j lanes = roll right by wp - j (pltpu.roll takes
+    non-negative shifts), wrap garbage stays in the cropped tail
+    columns.
+
+    DELIBERATELY SEQUENTIAL: every slice/roll reads the SAME source
+    value (d resp. v), so the shuffles are mutually independent and
+    pipeline behind the add chain. A balanced log-tree runsum
+    (~2*log2(n) ops instead of 2*(n-1)) was measured on hardware at
+    87.7 MP/s vs 149.3 for this form — the tree's rolls each read the
+    PREVIOUS partial sum, a fully serial chain that costs far more
+    than the saved ops (ROADMAP, round 3)."""
+
+    def boxsum(d):
+        v = d[:bh]
+        for k in range(1, patch):
+            v = v + d[k : k + bh]
+        s = v
+        for j in range(1, patch):
+            s = s + pltpu.roll(v, wp - j, 1)
+        return s
+
+    return boxsum
+
+
 def _reachable_sets(steps):
     """Per-axis displacement sets entering each round (ops/motion twin)."""
     cur = {0}
@@ -82,21 +110,7 @@ def _make_me_kernel(
     patch = 2 * pm + 1
     f0_rows, f1_rows = _band_rows(bh, pm, vmax)
     axis_sets = _reachable_sets(steps)
-
-    def boxsum(d):
-        # d: [f0_rows, wp] diff rows for this map (tail pad rows unused);
-        # returns [bh, wp]
-        # patch sums at offset 0 (S(y, x) = sum_{k,j < patch} d[y+k, x+j])
-        v = d[:bh]
-        for k in range(1, patch):
-            v = v + d[k : k + bh]
-        s = v
-        for j in range(1, patch):
-            # left-shift by j lanes = roll right by wp - j (pltpu.roll
-            # takes non-negative shifts); bit-identical to the slice,
-            # wrap garbage stays in the cropped tail columns
-            s = s + pltpu.roll(v, wp - j, 1)
-        return s
+    boxsum = _make_boxsum(patch, bh, f0_rows, wp)
 
     def kernel(f0_hbm, f1_hbm, u_ref, v_ref, f0b, f1b, rot, sems):
         b = pl.program_id(0)
@@ -150,9 +164,14 @@ def _make_me_kernel(
                 for ci in range(9):
                     costs[ci] = smap(offs[ci // 3], offs[ci % 3])
             else:
+                # per-axis masks built once (|vals| + |vals| compares
+                # instead of 2 per state pair): 162.7 vs 154.6 MP/s on
+                # hardware, bit-identical (ROADMAP, round 3)
+                mys = {vy_s: dy == vy_s for vy_s in vals}
+                mxs = {vx_s: dx == vx_s for vx_s in vals}
                 for vy_s in vals:
                     for vx_s in vals:
-                        m = (dy == vy_s) & (dx == vx_s)
+                        m = mys[vy_s] & mxs[vx_s]
                         for ci in range(9):
                             s = smap(vy_s + offs[ci // 3], vx_s + offs[ci % 3])
                             sel = jnp.where(m, s, 0)
@@ -282,15 +301,7 @@ def _make_me_seeded_kernel(
     patch = 2 * pm + 1
     f0_rows, f1_rows = _band_rows(bh, pm, vmax)
     axis_sets = _reachable_sets(steps)
-
-    def boxsum(d):
-        v = d[:bh]
-        for k in range(1, patch):
-            v = v + d[k : k + bh]
-        s = v
-        for j in range(1, patch):
-            s = s + pltpu.roll(v, wp - j, 1)
-        return s
+    boxsum = _make_boxsum(patch, bh, f0_rows, wp)
 
     def kernel(f0_hbm, f1_hbm, ay_ref, ax_ref, u_ref, v_ref,
                f0b, f1b, rot, Rs, sems):
