@@ -27,8 +27,6 @@ import numpy as np
 
 
 def _run(label, fn, *args, ref=None):
-    import jax
-
     from oclcomputervision_tpu.utils.profiling import profile_device
 
     t0 = time.time()
@@ -37,6 +35,7 @@ def _run(label, fn, *args, ref=None):
     except Exception as e:
         print(f"{label:12s}: FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
         return None, None
+    # (tot, out) returned for interactive use; scripted runs read stdout
     tot = profile_device(fn, *args).pop("__total__")
     err = float(np.abs(out - ref).max()) if ref is not None else 0.0
     print(

@@ -260,6 +260,9 @@ class Utility:
     bicubic_lds = bicubic
 
 
+clUtility = Utility  # reference class name alias (basic/interpolation.py:16)
+
+
 class Raisr:
     """ClRaisr-equivalent (super_resolution/raisr.py:18).
 
@@ -284,3 +287,6 @@ class Raisr:
         out, ms = timed(self.model.upsample, src)
         dst[...] = np.asarray(out).reshape(dst.shape)
         return [ms]
+
+
+ClRaisr = Raisr  # reference class name alias (super_resolution/raisr.py:18)

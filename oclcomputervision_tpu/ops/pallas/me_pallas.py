@@ -55,6 +55,9 @@ def _make_boxsum(patch: int, bh: int, f0_rows: int, wp: int):
     left-shift by j lanes = roll right by wp - j (pltpu.roll takes
     non-negative shifts), wrap garbage stays in the cropped tail
     columns.
+    ``f0_rows`` is the diff-row count the sublane slices read from -
+    asserted here so a mis-sized band fails at trace time, not with
+    out-of-range slices inside Mosaic.
 
     DELIBERATELY SEQUENTIAL: every slice/roll reads the SAME source
     value (d resp. v), so the shuffles are mutually independent and
@@ -63,6 +66,7 @@ def _make_boxsum(patch: int, bh: int, f0_rows: int, wp: int):
     87.7 MP/s vs 149.3 for this form — the tree's rolls each read the
     PREVIOUS partial sum, a fully serial chain that costs far more
     than the saved ops (ROADMAP, round 3)."""
+    assert f0_rows >= bh + patch - 1, (f0_rows, bh, patch)
 
     def boxsum(d):
         v = d[:bh]
