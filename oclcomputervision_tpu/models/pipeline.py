@@ -80,22 +80,11 @@ class EnhancePipeline:
             # plane-native Pallas pipeline; handles [H, W] and [B, H, W]
             x = raisr_upsample(x, self._raisr_filters, self._raisr_cfg)
         if cfg.resize_to is not None:
-            # resize() reads rank-3 as [H, W, C]; batched luma stacks
-            # must map over the batch axis explicitly
-            if batched:
-                x = jax.vmap(
-                    lambda im: resize_uint8(im, cfg.resize_to, cfg.resize_method)
-                )(x)
-            else:
-                x = resize_uint8(x, cfg.resize_to, cfg.resize_method)
+            x = resize_uint8(
+                x, cfg.resize_to, cfg.resize_method, batched=batched
+            )
         if cfg.pyramid_depth > 0:
-            if batched:
-                # per-level tuple, each with a leading batch axis
-                pyr = jax.vmap(
-                    lambda im: tuple(gaussian_pyramid(im, 2, cfg.pyramid_depth))
-                )(x)
-                return x, list(pyr)
-            return x, gaussian_pyramid(x, 2, cfg.pyramid_depth)
+            return x, gaussian_pyramid(x, 2, cfg.pyramid_depth, batched=batched)
         return x
 
     def __call__(self, gray):

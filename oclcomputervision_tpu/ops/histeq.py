@@ -151,8 +151,16 @@ def histeq_global(
     this dispatches to the Pallas VMEM-tiled kernel (the benchmarked
     fast path - bit-identical, any geometry); elsewhere to the XLA
     nibble-matmul formulation.
+
+    Rank-3 inputs are BATCH-FIRST luma stacks; a channels-last-looking
+    [H, W, C<=4] input raises (ops/_layout.py) - equalize the Y channel
+    of color images, as the reference demo does (histeq_test.py:120-130).
     """
     gray = jnp.asarray(gray)
+    if gray.ndim == 3:
+        from oclcomputervision_tpu.ops._layout import guard_batch_first
+
+        guard_batch_first(gray.shape, "histeq_global")
     if jax.default_backend() == "tpu":
         from oclcomputervision_tpu.ops.pallas.histeq_pallas import (
             histeq_global_pallas,
@@ -301,6 +309,10 @@ def histeq_local_block(
     image works.
     """
     gray = jnp.asarray(gray)
+    if gray.ndim == 3:
+        from oclcomputervision_tpu.ops._layout import guard_batch_first
+
+        guard_batch_first(gray.shape, "histeq_local_block")
     bs = tuple(blockshape)
     bh2, bw2 = bs[0] // 2, bs[1] // 2
     h, w = gray.shape[-2:]

@@ -67,12 +67,18 @@ def resize(
     out_hw: Tuple[int, int],
     method: str = "bilinear",
     mapping: str = "align_corners",
+    batched=None,
 ) -> jnp.ndarray:
-    """Resize of [H, W], [H, W, C], or [B, H, W, C] to out_hw.
+    """Resize of [H, W], [H, W, C], [B, H, W], or [B, H, W, C] to out_hw.
 
     Float output in the input's value range ([0, 255] for uint8 input).
     See the module docstring for the ``mapping`` conventions.
+    Rank-3 layout: ``batched=None`` (default) reads a trailing dim <= 4
+    as channels and raises on anything wider; True forces a [B, H, W]
+    luma stack, False forces [H, W, C] (ops/_layout.py).
     """
+    from oclcomputervision_tpu.ops._layout import rank3_is_batched
+
     img = jnp.asarray(img)
     clamp_hi = 255.0 if jnp.issubdtype(img.dtype, jnp.integer) else 1.0
     out_hw = tuple(int(v) for v in out_hw)
@@ -81,6 +87,12 @@ def resize(
         x = img.astype(jnp.float32)[..., None]
         return _resize_f32(x, out_hw, method, clamp_hi, mapping)[..., 0]
     if img.ndim == 3:
+        if rank3_is_batched(img.shape, batched, "resize"):
+            return jax.vmap(
+                lambda x: _resize_f32(
+                    x[..., None], out_hw, method, clamp_hi, mapping
+                )[..., 0]
+            )(img.astype(jnp.float32))
         return _resize_f32(img.astype(jnp.float32), out_hw, method, clamp_hi, mapping)
     if img.ndim == 4:
         return jax.vmap(lambda x: _resize_f32(x, out_hw, method, clamp_hi, mapping))(
@@ -94,9 +106,10 @@ def resize_uint8(
     out_hw: Tuple[int, int],
     method: str = "bilinear",
     mapping: str = "align_corners",
+    batched=None,
 ) -> jnp.ndarray:
     """uint8-in/uint8-out resize with round-to-nearest quantization."""
-    out = resize(img, out_hw, method, mapping)
+    out = resize(img, out_hw, method, mapping, batched=batched)
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 

@@ -555,6 +555,127 @@ def _estimate_2d_fast(
     return jnp.stack([u, v], axis=-1)
 
 
+def fast_halo_rows(search_size: int = 15, patch_size: int = 5) -> int:
+    """Per-side row halo that makes a band-local fast iteration exact:
+    each round spreads state influence by 1 (median) + step (candidate
+    shift) + pm (patch sum) rows, so garbage creeps inward from a band
+    edge by sum(1 + step + pm) rows total (me_fast_pallas.py's own halo
+    calculus at _fast_geometry)."""
+    pm = patch_size // 2
+    return sum(1 + st + pm for st in me_steps(search_size, patch_size))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "search_size", "patch_size", "costfn"),
+)
+def _fast_residual_band(
+    f0_ext, f1_ext, r0, h, w,
+    search_size=15, patch_size=5, costfn="sad",
+):
+    """XLA twin of me_fast_pallas's BAND semantics: the fast residual
+    iteration computed on a row band with true-image-edge masks.
+
+    ``f0_ext``/``f1_ext`` are [S, w] integer row bands covering global
+    rows [r0, r0 + S) of frame0 / the (seed-base-warped) frame1, ZERO
+    outside the global image; ``r0`` may be negative and is a traced
+    scalar (shard-dependent under shard_map). Returns [S, w, 2] int
+    residual flow whose rows at distance >= fast_halo_rows() from both
+    band edges are BIT-IDENTICAL to the full-image _estimate_2d_fast
+    residual loop - masks reproduce its exact edge semantics:
+
+    - w1 is zeroed outside the global image (the full-image w1 only
+      exists on [h, w]; a band row outside the image could otherwise
+      warp real frame rows into view),
+    - the DIFF is also masked to true image rows: a +-step candidate
+      shift can carry in-image w1 data into an out-of-image diff row,
+      which the full-image box sum zero-pads (the same guard as the
+      Pallas kernel's dmask),
+    - the 3x3 state medians edge-REPLICATE at the true image rows via
+      global-row masks (columns are full-width, so plain edge pad).
+
+    This is the spatial-parallel building block (parallel.mesh
+    motion_fast_sharded): shards exchange fast_halo_rows() true rows
+    via ppermute, run this band locally, and crop the halo.
+    """
+    S = f0_ext.shape[0]
+    pm = patch_size // 2
+    steps = me_steps(search_size, patch_size)
+    f0 = f0_ext.astype(jnp.int32)
+    rb = sum(steps)
+    grow = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]  # global row ids
+    in_img = (grow >= 0) & (grow < h)  # [S, 1], broadcasts over w
+    f1pad = jnp.pad(f1_ext.astype(jnp.int32), rb)
+
+    def boxsum(img):
+        p = jnp.pad(img, ((pm, pm), (0, 0)))
+        v = jnp.zeros_like(img)
+        for k in range(patch_size):
+            v = v + jax.lax.slice(p, (k, 0), (k + S, w))
+        p = jnp.pad(v, ((0, 0), (pm, pm)))
+        o = jnp.zeros_like(img)
+        for k in range(patch_size):
+            o = o + jax.lax.slice(p, (0, k), (S, k + w))
+        return o
+
+    def median3x3(a):
+        # column neighbors edge-replicate at the true (full-width)
+        # image columns; row neighbors replicate ONLY at the true
+        # image rows (a band edge is not an image edge)
+        pd = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
+        ctr = pd[1:-1, 1:-1]
+        up = jnp.where(grow >= 1, pd[:-2, 1:-1], ctr)
+        dn = jnp.where(grow <= h - 2, pd[2:, 1:-1], ctr)
+        v = []
+        for row in (up, ctr, dn):
+            rp = jnp.pad(row, ((0, 0), (1, 1)), mode="edge")
+            v.extend([rp[:, :-2], row, rp[:, 2:]])
+
+        def cx(i, j):
+            lo = jnp.minimum(v[i], v[j])
+            v[j] = jnp.maximum(v[i], v[j])
+            v[i] = lo
+
+        for i, j in MEDIAN9_EXCHANGES:
+            cx(i, j)
+        return v[4]
+
+    dy = jnp.zeros((S, w), jnp.int32)
+    dx = jnp.zeros((S, w), jnp.int32)
+    for step, vals in zip(steps, _reachable_sets(steps)):
+        if vals == [0]:
+            w1 = jax.lax.slice(f1pad, (rb, rb), (rb + S, rb + w))
+        else:
+            mx = {v: dx == v for v in vals}
+            w1 = jnp.zeros((S, w), jnp.int32)
+            for vy in vals:
+                inner = jnp.zeros((S, w), jnp.int32)
+                for vx in vals:
+                    sl = jax.lax.slice(
+                        f1pad, (rb + vy, rb + vx), (rb + vy + S, rb + vx + w)
+                    )
+                    inner = inner + jnp.where(mx[vx], sl, 0)
+                w1 = w1 + jnp.where(dy == vy, inner, 0)
+        w1 = jnp.where(in_img, w1, 0)
+        w1p = jnp.pad(w1, ((step, step), (step, step)))
+        sads = []
+        for oy in (-step, 0, step):
+            for ox in (-step, 0, step):
+                shifted = jax.lax.slice(
+                    w1p, (step + oy, step + ox), (step + oy + S, step + ox + w)
+                )
+                if costfn == "sad":
+                    diff = jnp.abs(f0 - shifted)
+                else:  # ssd
+                    diff = (f0 - shifted) * (f0 - shifted)
+                sads.append(boxsum(jnp.where(in_img, diff, 0)))
+        best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
+        dy = median3x3(dy + (best // 3 - 1) * step)
+        dx = median3x3(dx + (best % 3 - 1) * step)
+
+    return jnp.stack([dx, dy], axis=-1)
+
+
 def _vmem_fallback_warn(e: Exception, kernel: str, shape, fallback: str):
     """Re-raise unless ``e`` is a Mosaic scoped-vmem overflow; else warn
     (the caller then falls through to its XLA twin).
@@ -639,6 +760,10 @@ def estimate_motion_vector(
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
+    if gray0.ndim == 3:
+        from oclcomputervision_tpu.ops._layout import guard_batch_first
+
+        guard_batch_first(gray0.shape, "estimate_motion_vector")
     has_seed = seed is not None
     if warp_bound == "auto":
         wb = -1 if jax.default_backend() == "tpu" else None
@@ -1033,6 +1158,7 @@ def estimate_motion_pyramid(
     warp_bound="auto",
     seed_bound="auto",
     subpixel: int = 0,
+    refine: str = "auto",
 ):
     """Coarse-to-fine driver (me_test.py:76-90): returns per-level flows,
     index 0 = coarsest, last = full resolution. Accepts [H, W] frames or
@@ -1059,20 +1185,31 @@ def estimate_motion_pyramid(
     bounded search residual uses masked shifts). An explicit int bound
     clamps each level's seed base once and warns when the upscaled
     flow actually saturates there.
+
+    ``refine`` closes the fast mode's quality gap: the fast search's
+    candidate costs read NEIGHBORS' displacements at window edges
+    (_estimate_2d_fast docstring), which costs ~1.6 px EPE vs the exact
+    search on Middlebury. 'auto' (default) therefore follows a fast
+    pyramid with ONE seeded-EXACT pass at the finest level (the
+    smoothed fast flow is the seed; the pass is the fused Pallas
+    clamped-base kernel, ~10 ms/frame device at VGA) - a hybrid
+    schedule at a fraction of the full exact pyramid's cost. 'exact'
+    forces the refinement pass for any method; 'none' disables it.
     """
     from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
 
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
     if gray0.ndim == 3:
-        # gaussian_pyramid's 3-D convention is [H, W, C]; map over the
-        # batch axis explicitly (its level list is a pytree)
-        batch_pyr = jax.vmap(lambda g: tuple(gaussian_pyramid(g, 2, levels)))
-        pyr0 = list(batch_pyr(gray0))
-        pyr1 = list(batch_pyr(gray1))
-    else:
-        pyr0 = gaussian_pyramid(gray0, 2, levels)
-        pyr1 = gaussian_pyramid(gray1, 2, levels)
+        from oclcomputervision_tpu.ops._layout import guard_batch_first
+
+        guard_batch_first(gray0.shape, "estimate_motion_pyramid")
+    batched = gray0.ndim == 3  # [B, H, W] luma stack
+    pyr0 = gaussian_pyramid(gray0, 2, levels, batched=batched)
+    pyr1 = gaussian_pyramid(gray1, 2, levels, batched=batched)
+    if refine not in ("auto", "exact", "none"):
+        raise ValueError(f"unknown refine mode {refine!r}")
+    do_refine = refine == "exact" or (refine == "auto" and method == "fast")
     flows = []
     seed = None
     for lv in range(levels):
@@ -1081,6 +1218,19 @@ def estimate_motion_pyramid(
             seed_mode=seed_mode, method=method, warp_bound=warp_bound,
             seed_bound=seed_bound,
         )
+        if do_refine and lv == levels - 1:
+            # hybrid schedule: one seeded-exact pass over the finest
+            # level, seeded by the (median-smoothed) approximate flow -
+            # recovers most of the exact search's quality at a fraction
+            # of its cost (the fast candidate costs read neighbors'
+            # displacements at window edges; this pass re-evaluates
+            # every pixel's 3x3x3-round search exactly around its seed)
+            sk = smooth if smooth > 0 else 5
+            mv = estimate_motion_vector(
+                pyr0[lv], pyr1[lv], search_size, patch_size,
+                seed=median_filter_flow(mv, sk), seed_mode="fixed",
+                method="exact", seed_bound=seed_bound,
+            )
         if subpixel > 0:
             sk = smooth if smooth > 0 else 5
             for _ in range(subpixel):

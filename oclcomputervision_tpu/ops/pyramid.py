@@ -66,9 +66,21 @@ def _pyr_down_f32(img: jnp.ndarray, scale: int) -> jnp.ndarray:
     return out[: h // scale, : w // scale]
 
 
-def pyr_down(img: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
-    """Blur + decimate one level; uint8 in -> uint8 out (round-to-nearest)."""
+def pyr_down(img: jnp.ndarray, scale: int = 2, batched=None) -> jnp.ndarray:
+    """Blur + decimate one level; uint8 in -> uint8 out (round-to-nearest).
+
+    Accepts [H, W], [H, W, C], [B, H, W], or [B, H, W, C]. Rank-3
+    layout: ``batched=None`` (default) reads a trailing dim <= 4 as
+    channels and raises on anything wider; True forces [B, H, W],
+    False forces [H, W, C] (ops/_layout.py).
+    """
+    from oclcomputervision_tpu.ops._layout import rank3_is_batched
+
     img = jnp.asarray(img)
+    if img.ndim == 3 and rank3_is_batched(img.shape, batched, "pyr_down"):
+        return jax.vmap(lambda x: pyr_down(x, scale, batched=False))(img)
+    if img.ndim == 4:
+        return jax.vmap(lambda x: pyr_down(x, scale, batched=False))(img)
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
     is_int = jnp.issubdtype(img.dtype, jnp.integer)
@@ -80,11 +92,22 @@ def pyr_down(img: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
     return out[..., 0] if squeeze else out
 
 
-def gaussian_pyramid(img: jnp.ndarray, scale: int = 2, depth: int = 3) -> List[jnp.ndarray]:
-    """List of ``depth`` levels, index 0 = COARSEST (pyramid.py:9-14)."""
-    pyramid = [jnp.asarray(img)]
+def gaussian_pyramid(
+    img: jnp.ndarray, scale: int = 2, depth: int = 3, batched=None
+) -> List[jnp.ndarray]:
+    """List of ``depth`` levels, index 0 = COARSEST (pyramid.py:9-14).
+
+    ``batched`` disambiguates rank-3 inputs exactly as in pyr_down.
+    """
+    img = jnp.asarray(img)
+    if img.ndim == 3:
+        from oclcomputervision_tpu.ops._layout import rank3_is_batched
+
+        # resolve once so every level below is unambiguous
+        batched = rank3_is_batched(img.shape, batched, "gaussian_pyramid")
+    pyramid = [img]
     src = pyramid[0]
     for _ in range(depth - 1):
-        src = pyr_down(src, scale)
+        src = pyr_down(src, scale, batched=batched)
         pyramid.insert(0, src)
     return pyramid

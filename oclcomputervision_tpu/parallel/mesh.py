@@ -161,6 +161,75 @@ def histeq_local_sharded(
     return sharded(gray)
 
 
+def motion_fast_sharded(
+    gray0: jnp.ndarray,
+    gray1: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    search_size: int = 15,
+    patch_size: int = 5,
+    costfn: str = "sad",
+) -> jnp.ndarray:
+    """Row-sharded fast-mode dense motion estimation (sp).
+
+    Each device holds a row shard of BOTH frames, exchanges
+    fast_halo_rows() = sum(1 + step + pm) true boundary rows with its
+    neighbors over ICI (two ppermute shifts per frame; the fast
+    kernel's own garbage-creep calculus, me_fast_pallas.py), runs the
+    band-local residual iteration with true-image-edge masks
+    (ops.motion._fast_residual_band), and crops the halo. BIT-IDENTICAL
+    to the single-device fast mode - the same argument that makes the
+    Pallas band kernel exact makes the shard seams exact.
+
+    Unseeded (the pyramid's coarsest level / single-pair serving); a
+    seeded variant would first warp frame1 by the seed base per shard,
+    which needs a seed-magnitude-sized halo - use dp over frame batches
+    for seeded pyramids instead.
+    """
+    from oclcomputervision_tpu.ops.motion import (
+        _fast_residual_band,
+        fast_halo_rows,
+    )
+
+    n = mesh.shape[axis]
+    h, w = gray0.shape
+    if h % n:
+        raise ValueError(f"rows {h} not divisible by mesh axis {n}")
+    h_loc = h // n
+    hh = fast_halo_rows(search_size, patch_size)
+    if hh > h_loc:
+        raise ValueError(
+            f"halo {hh} exceeds shard rows {h_loc}; use fewer devices"
+        )
+
+    def shard_fn(g0, g1):
+        g0 = g0.reshape(h_loc, w)
+        g1 = g1.reshape(h_loc, w)
+        i = jax.lax.axis_index(axis)
+        fwd = [(k, k + 1) for k in range(n - 1)]  # send bottom rows down
+        bwd = [(k + 1, k) for k in range(n - 1)]  # send top rows up
+        exts = []
+        for g in (g0, g1):
+            top = jax.lax.ppermute(g[-hh:], axis, fwd)  # from the shard above
+            bot = jax.lax.ppermute(g[:hh], axis, bwd)   # from the shard below
+            # global edges receive zeros from ppermute - exactly the
+            # out-of-image zero fill the band contract asks for
+            exts.append(jnp.concatenate([top, g, bot], axis=0).astype(jnp.int32))
+        r0 = i * h_loc - hh
+        res = _fast_residual_band(
+            exts[0], exts[1], r0, h, w, search_size, patch_size, costfn
+        )
+        return res[hh : hh + h_loc].astype(jnp.float32)
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    return sharded(gray0, gray1)
+
+
 def raisr_train_step(
     patches: jnp.ndarray,
     targets: jnp.ndarray,

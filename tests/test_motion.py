@@ -465,3 +465,54 @@ class TestBatchedPyramid:
             np.testing.assert_array_equal(
                 med[i], np.asarray(ops.median_filter_flow(mv[i], 3))
             )
+
+
+class TestFastResidualBand:
+    """XLA twin of the Pallas band semantics (the sp building block)."""
+
+    def test_bands_match_full_image(self, frames_gray):
+        g0 = frames_gray[0][:120, :80]
+        g1 = frames_gray[1][:120, :80]
+        h, w = g0.shape
+        # warp_bound=0 forces the unseeded masked-shift residual loop
+        want = np.asarray(
+            ops.estimate_motion_vector(g0, g1, 15, 5, method="fast", warp_bound=0)
+        )
+        hh = ops.fast_halo_rows(15, 5)
+        assert hh == 17  # sum(1 + step + pm) at 15/5
+        for r0 in (0, 40, 80):
+            bh = 40
+            lo, hi = r0 - hh, r0 + bh + hh
+            ext0 = np.zeros((hi - lo, w), np.int32)
+            ext1 = np.zeros((hi - lo, w), np.int32)
+            src = slice(max(lo, 0), min(hi, h))
+            dst = slice(max(lo, 0) - lo, min(hi, h) - lo)
+            ext0[dst] = g0[src]
+            ext1[dst] = g1[src]
+            res = np.asarray(
+                ops._fast_residual_band(ext0, ext1, lo, h, w, 15, 5, "sad")
+            )
+            np.testing.assert_array_equal(
+                res[hh : hh + bh].astype(np.float32), want[r0 : r0 + bh]
+            )
+
+    def test_band_ssd(self, frames_gray):
+        g0 = frames_gray[0][:80, :64]
+        g1 = frames_gray[1][:80, :64]
+        h, w = g0.shape
+        want = np.asarray(
+            ops.estimate_motion_vector(
+                g0, g1, 15, 5, method="fast", costfn="ssd", warp_bound=0
+            )
+        )
+        hh = ops.fast_halo_rows(15, 5)
+        ext0 = np.zeros((h + 2 * hh, w), np.int32)
+        ext1 = np.zeros((h + 2 * hh, w), np.int32)
+        ext0[hh : hh + h] = g0
+        ext1[hh : hh + h] = g1
+        res = np.asarray(
+            ops._fast_residual_band(ext0, ext1, -hh, h, w, 15, 5, "ssd")
+        )
+        np.testing.assert_array_equal(
+            res[hh : hh + h].astype(np.float32), want
+        )

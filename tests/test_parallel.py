@@ -157,3 +157,23 @@ class TestShardedRaisr:
         # real seam bug
         d = np.abs(sharded.astype(int) - single.astype(int))
         assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+class TestSpatialMotion:
+    def test_row_sharded_fast_motion_matches_single(self, mesh8, frames_gray):
+        # sp fast-ME: halo-row ppermute exchange + band-local residual
+        # iteration; seams must be bit-identical to the unsharded mode
+        from oclcomputervision_tpu.ops.motion import estimate_motion_vector
+
+        g0 = frames_gray[0][:240, :320]
+        g1 = frames_gray[1][:240, :320]
+        got = np.asarray(parallel.motion_fast_sharded(g0, g1, mesh8))
+        want = np.asarray(
+            estimate_motion_vector(g0, g1, 15, 5, method="fast", warp_bound=0)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_row_sharded_motion_halo_too_big_raises(self, mesh8, rng):
+        g = rng.integers(0, 256, (64, 64)).astype(np.uint8)  # 8 rows/shard
+        with pytest.raises(ValueError, match="halo"):
+            parallel.motion_fast_sharded(g, g, mesh8)
