@@ -97,21 +97,23 @@ def bench_histeq(jax, jnp):
     _emit("fused_histeq_global_throughput", batch * h * w / 1e6 / median_s)
 
 
-def bench_raisr(jax, jnp):
+def bench_raisr(jax, jnp, scale=2):
     import numpy as np
 
     from oclcomputervision_tpu.models.raisr import RaisrModel
     from oclcomputervision_tpu.ops.raisr import raisr_upsample
     from oclcomputervision_tpu.utils.assets import asset_path
 
-    model = RaisrModel.load(asset_path("raisr_filters_x2.npz"), fidelity="full")
+    model = RaisrModel.load(
+        asset_path(f"raisr_filters_x{scale}.npz"), fidelity="full"
+    )
     filters = jnp.asarray(model.filters, jnp.float32)
     cfg = model.cfg
 
-    # 4MP-class output geometry (1024x1024 LR -> 2048x2048 HR), batch 16
-    # per scan step, 16 steps per dispatch; natural-image content so the
-    # hash buckets are realistic.
-    batch, h, w = 16, 1024, 1024
+    # 4MP-class output geometry per scale (x2: 1024^2 LR -> 2048^2 HR),
+    # batch 16 per scan step, 16 steps per dispatch; natural-image
+    # content so the hash buckets are realistic.
+    batch, h, w = 16, 2048 // scale, 2048 // scale
     n_scan, rounds = 16, 3
     from oclcomputervision_tpu.utils import load_gray
 
@@ -133,8 +135,115 @@ def bench_raisr(jax, jnp):
     # XLA dead-code-eliminate part of the re-interleave glue)
     fn = lambda x, acc: acc + jnp.sum(raisr_upsample(x, filters, cfg), dtype=jnp.int32)
     median_s = _measure(fn, make_buf, n_scan, rounds, jax, jnp)
-    print("raisr warmup+measure done", file=sys.stderr, flush=True)
-    _emit("raisr_x2_throughput", batch * h * w * cfg.scale**2 / 1e6 / median_s)
+    print(f"raisr x{scale} warmup+measure done", file=sys.stderr, flush=True)
+    _emit(
+        f"raisr_x{scale}_throughput",
+        batch * h * w * cfg.scale**2 / 1e6 / median_s,
+    )
+
+
+def bench_pyr_down(jax, jnp):
+    """Gaussian pyramid primitive (pyramid/pyramid.py:12's cv2.pyrDown
+    twin): one 2x blur+decimate level on batched 768x1280 luma."""
+    from oclcomputervision_tpu.ops.pyramid import pyr_down
+
+    batch, h, w = 256, 768, 1280
+    n_scan, rounds = 16, 3
+    keys = jax.random.split(jax.random.PRNGKey(3), rounds + 1)
+    gen = jax.jit(
+        lambda k: jax.random.randint(
+            k, (n_scan, batch, h, w), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+    )
+    fn = lambda x, acc: acc + jnp.sum(
+        pyr_down(x, 2, batched=True), dtype=jnp.int32
+    )
+    median_s = _measure(fn, lambda r: gen(keys[r]), n_scan, rounds, jax, jnp)
+    print("pyr_down done", file=sys.stderr, flush=True)
+    _emit("pyr_down_2x_throughput", batch * h * w / 1e6 / median_s)
+
+
+def bench_me_pyramid_time(jax, jnp):
+    """Wall + device time of the full seeded-EXACT 3-level VGA pyramid
+    (me_test.py:76-90's coarse-to-fine flow, bit-identical search).
+
+    This is a host-driven multi-dispatch flow (~20 tunnel dispatches),
+    so WALL time is tunnel-dominated; DEVICE ms (profiler trace - the
+    ground truth) is emitted alongside. vs_baseline for both is the
+    round-2 target ratio 100 ms / value (>1 = beat the target)."""
+    import numpy as np
+
+    from oclcomputervision_tpu.ops.motion import estimate_motion_pyramid
+    from oclcomputervision_tpu.utils.profiling import profile_device
+
+    g0, g1 = _me_frames(jnp)
+    rng = np.random.default_rng(7)
+
+    def run(a, b):
+        flows = estimate_motion_pyramid(a, b, 3, method="exact", smooth=9)
+        return flows[-1]
+
+    # warmup (compiles every level's kernels)
+    _ = np.asarray(run(g0, g1))
+    times = []
+    for _r in range(3):
+        a = jnp.asarray(
+            np.clip(np.asarray(g0, np.int16) + rng.integers(-4, 5, g0.shape), 0, 255
+                    ).astype(np.uint8))
+        b = jnp.asarray(
+            np.clip(np.asarray(g1, np.int16) + rng.integers(-4, 5, g1.shape), 0, 255
+                    ).astype(np.uint8))
+        jax.block_until_ready((a, b))
+        t0 = time.perf_counter()
+        _ = np.asarray(run(a, b))  # full host readback completes the flow
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    wall_ms = times[len(times) // 2] * 1e3
+    dev_ms = profile_device(run, a, b).pop("__total__")
+    print("me exact pyramid time done", file=sys.stderr, flush=True)
+    _emit("me_exact_pyramid_wall_ms", wall_ms,
+          unit="ms (lower is better)", vs=100.0 / wall_ms)
+    _emit("me_exact_pyramid_device_ms", dev_ms,
+          unit="ms (lower is better)", vs=100.0 / dev_ms)
+
+
+def bench_video(jax, jnp):
+    """Serving-style video pipeline fps (fused histeq + fast dense flow
+    per 768x1280 frame), measured with the SCAN discipline: one
+    dispatch covers the whole frame chain, so the number is sustained
+    device throughput, not async-enqueue wall time."""
+    from oclcomputervision_tpu.ops.histeq import histeq_global
+    from oclcomputervision_tpu.ops.motion import estimate_motion_vector
+
+    h, w = 768, 1280
+    n_scan, rounds = 64, 3
+    key = jax.random.PRNGKey(5)
+    base = (jax.random.uniform(key, (h + 384, w + 384)) * 255).astype(jnp.uint8)
+
+    def make_buf(r):
+        # panning synthetic scene; never-seen content per round via the
+        # round-dependent offset
+        fs = jnp.stack(
+            [
+                jax.lax.dynamic_slice(base, (2 * i + 3 * r, 3 * i), (h, w))
+                for i in range(n_scan + 1)
+            ]
+        )
+        return fs[:-1], fs[1:]
+
+    def fn(pc, acc):
+        prev, cur = pc
+        eq = histeq_global(cur)
+        mv = estimate_motion_vector(prev, cur, 15, 5, method="fast")
+        return acc + (
+            jnp.sum(eq, dtype=jnp.int32)
+            + jnp.sum(mv, dtype=jnp.float32).astype(jnp.int32)
+        )
+
+    median_s = _measure(fn, make_buf, n_scan, rounds, jax, jnp)
+    print("video pipeline done", file=sys.stderr, flush=True)
+    _emit("video_pipeline_fps", 1.0 / median_s, unit="frames/sec",
+          vs=(1.0 / median_s) / 30.0)  # vs 30-fps real-time serving bar
 
 
 def bench_localeq(jax, jnp):
@@ -260,10 +369,15 @@ def main():
     # tail (the driver parses from the end)
     bench_localeq(jax, jnp)
     bench_resize(jax, jnp)
+    bench_pyr_down(jax, jnp)
     bench_me(jax, jnp)
     bench_me_epe(jax, jnp)
+    bench_me_pyramid_time(jax, jnp)
+    bench_video(jax, jnp)
+    bench_raisr(jax, jnp, scale=3)
+    bench_raisr(jax, jnp, scale=4)
     bench_histeq(jax, jnp)
-    bench_raisr(jax, jnp)
+    bench_raisr(jax, jnp, scale=2)
 
 
 if __name__ == "__main__":

@@ -755,8 +755,9 @@ def estimate_motion_vector(
     |trunc(seed)| <= B, with a warning when a concrete seed saturates;
     ~2 orders of magnitude faster than the windowed gather it replaces.
     'auto' sizes B from the seed itself when concrete (quantized to
-    {8, 12, 16}; tracers get 8). An int sets B directly; 'none' keeps
-    the windowed gather (unbounded seeds, also the WSAD route).
+    {8, 12, 16, 20, 24, 32}; tracers get 8). An int sets B directly;
+    'none' keeps the windowed gather (unbounded seeds, also the WSAD
+    route).
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
@@ -812,12 +813,16 @@ def estimate_motion_vector(
         return _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn)
     if seed_bound == "auto":
         # size the bound from the seed itself when it is concrete (the
-        # pyramid driver's seeds always are), quantized to {8, 12, 16}
-        # so recompiles stay bounded; tracers get the 8 default
+        # pyramid driver's seeds always are), quantized to {8, 12, 16,
+        # 20, 24, 32} so recompiles stay bounded; tracers get the 8
+        # default. The top quantum matters: on the repo's own Middlebury
+        # benchmark the finest level's seeds reach 29 px over 9.6% of
+        # pixels (NOT an outlier tail), and clamping them at 16 cost
+        # 0.05 EPE (3.49 vs the full-coverage 3.44) - round-4 probe.
         sb = 8
         if has_seed and not isinstance(seed, jax.core.Tracer):
             base_max = float(np.max(np.abs(np.trunc(np.asarray(seed)))))
-            for q in (8, 12, 16):
+            for q in (8, 12, 16, 20, 24, 32):
                 sb = q
                 if base_max <= q:
                     break
@@ -865,7 +870,9 @@ def estimate_motion_vector(
         )
         nmaps = (2 * (sb + rel_max) + 1) ** 2
         hw = gray0.shape[-2] * gray0.shape[-1]
-        if nmaps * hw * 4 <= 6e9:  # live S-map stack budget (HBM only)
+        map_bytes = 2 if costfn == "sad" and patch_size <= 16 else 4
+        # live S-map stack budget (HBM only; int16 SAD maps halve it)
+        if nmaps * hw * map_bytes <= 6e9:
             _warn_seed_saturation(seed, sb, "seed_bound")
             if gray0.ndim == 3:
                 return jax.vmap(

@@ -509,10 +509,18 @@ def me_exact_pallas_seeded_supported(
     search_size: int, patch_size: int, costfn: str, seed_bound: int
 ) -> bool:
     """Geometry gate for the seeded kernel: SAD/SSD, a step schedule,
-    and a bounded clamp (rot + R scratches scale with the bound)."""
+    and a bounded clamp (rot + R scratches scale with the bound).
+
+    B <= 32 is hardware-validated at the 15/5 geometry (round-4 probe:
+    B = 20/24/32 all compile under the 100 MB VMEM limit - ~54 MB of
+    declared scratch at B = 32 - and are bit-identical to the XLA
+    seeded path; device cost scales linearly with the nx^2 build count,
+    9.7 ms/VGA frame at B=8 -> 63 ms at B=32). B=32 covers the repo's
+    own Middlebury benchmark, whose finest-level seeds reach 29 px over
+    9.6% of pixels - clamping at the old 16 cap cost 0.05 EPE."""
     if costfn not in ("sad", "ssd"):
         return False
-    if not (0 < int(seed_bound) <= 16):
+    if not (0 < int(seed_bound) <= 32):
         return False
     return bool(me_steps(search_size, patch_size))
 

@@ -68,6 +68,25 @@ HALO_ROWS = 8  # >= 2 * plane halo, padded to a sublane multiple
 NB_PAD = 224  # 216 buckets padded to a sublane multiple
 
 
+def _mm_tap_mats(cfg) -> np.ndarray:
+    """Translation-invariant banded tap matrices for the '_mm' hash
+    modes: [s, s, 128 + 2*bh, 128] f32 with W[b, b2, bh + co + j, j] =
+    k1[u] for every blur tap u landing on column phase b2 at column
+    offset co - one constant serves every aligned 128-column chunk."""
+    from oclcomputervision_tpu.ops.raisr import _blur_k1
+
+    s = cfg.scale
+    g = cfg.gauss_len // 2
+    bh = -(-g // s)
+    k1 = [float(v) for v in _blur_k1(cfg)]
+    wc = np.zeros((s, s, 128 + 2 * bh, 128), np.float32)
+    for b in range(s):
+        for u in range(cfg.gauss_len):
+            b2, co = (b + u - g) % s, (b + u - g) // s
+            wc[b, b2, bh + co + np.arange(128), np.arange(128)] += k1[u]
+    return wc
+
+
 def plane_halo(fl: int, s: int, gauss_len: int = 9) -> int:
     """Origin-aligned plane halo covering the filter's reach AND the
     hash stage's (Sobel 1 + structure-tensor blur gauss_len//2)."""
@@ -456,6 +475,18 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
     # roll mode pads the vbuf scratch width to a lane multiple so the
     # stage-3 rotates act on whole vregs
     vw = -(-ext_c // 128) * 128 if lane_roll else ext_c
+    # '_mm'/'_mmx': the HORIZONTAL blur (stage 3 - 4.1 of the 8.0 ms
+    # hash, its largest term) as banded-matmul column chunks on the
+    # MXU: output chunk [:, 128c:128c+128] = sum_{b2} vbuf slab
+    # [:, 128c : 128c + 128 + 2bh] @ Wc[b][b2], with Wc translation-
+    # invariant (one [128+2bh, 128] constant per (b, b2) serves every
+    # chunk) and the (t, a) planes concatenated into one [3*s*th, .]
+    # operand so each chunk is a single near-full MXU pass. '_mm' runs
+    # at DEFAULT matmul precision (bf16 passes - buckets can flip near
+    # quantizer boundaries; PSNR-gated, see ROADMAP), '_mmx' at
+    # HIGHEST. Requires w2p % 128 == 0 (the wrapper gates).
+    mm = angle_mode.endswith("_mm") or angle_mode.endswith("_mmx")
+    kband = 128 + 2 * bh
     bounds = [
         (float(np.cos(np.pi * k / na)), float(np.sin(np.pi * k / na)))
         for k in range(1, na)
@@ -463,7 +494,11 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
     squant = [float(v) for v in cfg.strength_quantizers]
     cquant = [float(v) for v in cfg.coherence_quantizers]
 
-    def kernel(planes_hbm, out_ref, buf, t3, vbuf, sems):
+    def kernel(planes_hbm, *refs):
+        if mm:
+            wc_ref, out_ref, buf, t3, vbuf, sems = refs
+        else:
+            out_ref, buf, t3, vbuf, sems = refs
         bi = pl.program_id(0)
         i = pl.program_id(1)
         for p in range(s * s):
@@ -610,10 +645,46 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
                 ps_cache[key] = vbuf[t, plane, :, pl.ds(bh + co, w2p)]
             return ps_cache[key]
 
+        abd_mm = {}
+        if mm:
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if angle_mode.endswith("_mmx")
+                else jax.lax.Precision.DEFAULT
+            )
+            nchunk = w2p // 128
+            chunks = {}  # (t, a, b) -> per-chunk [th, 128] columns
+            for c in range(nchunk):
+                slabs = []
+                for b2 in range(s):
+                    rows = [
+                        vbuf[t, a * s + b2, :, pl.ds(c * 128, kband)]
+                        for t in range(3)
+                        for a in range(s)
+                    ]
+                    slabs.append(jnp.concatenate(rows, axis=0))
+                for b in range(s):
+                    acc = None
+                    for b2 in range(s):
+                        r = jnp.dot(
+                            slabs[b2],
+                            wc_ref[b, b2],
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = r if acc is None else acc + r
+                    for t in range(3):
+                        for a in range(s):
+                            chunks.setdefault((t, a, b), []).append(
+                                acc[(t * s + a) * th : (t * s + a + 1) * th]
+                            )
+            for key, pieces in chunks.items():
+                abd_mm[key] = jnp.concatenate(pieces, axis=1)
+
         for p_out in range(s * s):
             a, b = divmod(p_out, s)
-            abd = []
-            for t in range(3):
+            abd = [abd_mm[(t, a, b)] for t in range(3)] if mm else []
+            for t in () if mm else range(3):
                 hp_acc = None
                 if sym:
                     n = cfg.gauss_len
@@ -645,7 +716,7 @@ def _make_hash_kernel(cfg, w2p: int, wq: int, angle_mode: str = "halfplane"):
             det = ta * td - tb * tb
             disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
             l1 = tr / 2.0 + disc
-            no_sqrt = angle_mode.endswith("_ns")
+            no_sqrt = "_ns" in angle_mode
             l2 = None if no_sqrt else tr / 2.0 - disc
 
             # angle bucket via half-plane sign tests (see docstring)
@@ -740,11 +811,22 @@ def hash_planes_pallas(
             f"no hash tile fits scoped vmem at scale {s}, plane width "
             f"{w2p}; use ops.raisr.hash_planes (the dispatcher does)"
         )
+    mm = angle_mode.endswith("_mm") or angle_mode.endswith("_mmx")
+    if mm and w2p % 128:
+        raise ValueError(
+            f"matmul-blur hash modes need a lane-multiple plane width, "
+            f"got {w2p}"
+        )
     kernel = _make_hash_kernel(cfg, w2p, wq, angle_mode)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [planes]
+    if mm:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(_mm_tap_mats(cfg)))
     return pl.pallas_call(
         kernel,
         grid=(nb, h2p // _hash_tile_h(w2p, s)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, s * s, _hash_tile_h(w2p, s), w2p),
             lambda b, i: (b, 0, i, 0),
@@ -771,7 +853,7 @@ def hash_planes_pallas(
             pltpu.SemaphoreType.DMA((s * s,)),
         ],
         interpret=interpret,
-    )(planes)
+    )(*operands)
 
 
 def _phase_wmats(filters: jnp.ndarray, cfg) -> list:

@@ -606,8 +606,12 @@ class TestMeExactSeededKernel:
 
         assert me_exact_pallas_seeded_supported(15, 5, "sad", 8)
         assert me_exact_pallas_seeded_supported(15, 5, "ssd", 16)
+        # B up to 32 hardware-validated round 4 (covers the benchmark's
+        # 29 px finest-level seeds; bit-identical, linear device cost)
+        assert me_exact_pallas_seeded_supported(15, 5, "sad", 24)
+        assert me_exact_pallas_seeded_supported(15, 5, "sad", 32)
+        assert not me_exact_pallas_seeded_supported(15, 5, "sad", 33)
         assert not me_exact_pallas_seeded_supported(15, 5, "wsad", 8)
-        assert not me_exact_pallas_seeded_supported(15, 5, "sad", 24)
         assert not me_exact_pallas_seeded_supported(5, 5, "sad", 8)  # no steps
 
     def test_scoped_vmem_overflow_degrades_to_xla(self, rng, monkeypatch):
