@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--outdir", default="/tmp")
     ap.add_argument("--probe", type=int, nargs=2, metavar=("Y", "X"),
                     help="also write the zoomed search view at this pixel")
+    ap.add_argument("--refine", default="auto",
+                    choices=["auto", "exact", "none"],
+                    help="hybrid refinement schedule for --method fast "
+                         "(see estimate_motion_pyramid)")
     args = ap.parse_args()
 
     g0 = load_gray("frame10.png")
@@ -43,7 +47,7 @@ def main():
 
     flows, ms = timed(
         estimate_motion_pyramid, g0, g1, args.levels, 15, 5, args.seed_mode,
-        args.method, args.smooth, subpixel=args.subpixel,
+        args.method, args.smooth, subpixel=args.subpixel, refine=args.refine,
     )
     print(f"{args.levels}-level pyramid flow: {ms:.1f} ms (incl. compile)")
 

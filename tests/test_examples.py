@@ -32,8 +32,11 @@ def _run(script, args, timeout=900):
 def test_me_demo_runs_and_scores(tmp_path):
     r = _run(
         "examples/me_demo.py",
-        ["--levels", "2", "--method", "fast", "--outdir", str(tmp_path),
-         "--probe", "120", "200"],
+        ["--levels", "2", "--method", "fast", "--refine", "none",
+         "--outdir", str(tmp_path), "--probe", "120", "200"],
+        # --refine none: the hybrid's exact passes cost ~2 min on the
+        # 1-core CPU backend; the hybrid itself is covered by
+        # test_motion.TestHybridRefine
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "EPE" in r.stdout and "layer 1" in r.stdout

@@ -151,7 +151,7 @@ class TestRaisrApplyKernel:
         from oclcomputervision_tpu.utils.config import RaisrConfig
 
         cfg = RaisrConfig(fidelity="full")
-        h, w = 128, 256
+        h, w = 64, 256  # 2 lane tiles, 4 row chunks - smallest full geometry
         up = rng.random((h, w)).astype(np.float32)
         bucket = rng.integers(0, 216, size=(h, w)).astype(np.int32)
         filters = (rng.standard_normal((cfg.num_filters, 11, 11)) * 0.05).astype(
@@ -255,7 +255,7 @@ class TestRaisrApplyKernel:
 
         assert _row_chunk(1024) == 16 and _row_chunk(2048) == 8
         cfg = RaisrConfig(fidelity="full")
-        h, w = 128, 4096
+        h, w = 16, 4096  # 16 rows keep 2 rc=8 chunks; interpret cost 8x down
         up = rng.random((h, w)).astype(np.float32)
         bucket = rng.integers(0, 216, size=(h, w)).astype(np.int32)
         filters = (rng.standard_normal((cfg.num_filters, 11, 11)) * 0.05).astype(
@@ -379,10 +379,13 @@ class TestHashKernel:
 class TestApplyVariants:
     @pytest.mark.parametrize(
         "variant,w2",
-        [("g4", 512), ("g4r", 512), ("g4p", 512), ("g8", 768), ("g4s", 512),
-         ("g8s", 768)],
+        [("g4", 512), ("g8", 768), ("g4s", 512), ("g8s", 768)],
         # g8/g8s at w2=768 exercise the non-power-of-two degrade (6
-        # column groups - the x3 pipeline's geometry)
+        # column groups - the x3 pipeline's geometry). The unshipped
+        # measured-negative variants (g4r lane-rotate taps, g4p
+        # cross-chunk pipeline) stay in the code for probes but are
+        # dropped from CI - each cost ~19 s of interpret time for
+        # coverage of paths no dispatcher selects.
     )
     def test_variant_bit_identical_to_base(self, variant, w2):
         # every hardware variant (column-group pipeline, lane-roll taps,
@@ -395,7 +398,7 @@ class TestApplyVariants:
         s, fl = 2, 11
         hp = rp.plane_halo(fl, s)
         rng = np.random.default_rng(7)
-        nimg, h2 = 1, 128
+        nimg, h2 = 1, 64  # 4 row chunks at rc=16
         planes = jnp.asarray(
             rng.random((nimg, s * s, h2 + rp.HALO_ROWS, w2 + 128), dtype=np.float32)
         )
@@ -472,8 +475,8 @@ class TestMeExactKernel:
         from oclcomputervision_tpu.ops.pallas.me_pallas import me_exact_pallas
         from oclcomputervision_tpu.utils import load_gray
 
-        f10 = np.asarray(load_gray("frame10.png"))[::4, ::4]
-        f11 = np.asarray(load_gray("frame11.png"))[::4, ::4]
+        f10 = np.asarray(load_gray("frame10.png"))[::6, ::6]
+        f11 = np.asarray(load_gray("frame11.png"))[::6, ::6]
         b0, b1 = np.stack([f10, f11]), np.stack([f11, f10])
         got = np.asarray(me_exact_pallas(b0, b1, 15, 5, interpret=True))
         for i in range(2):
@@ -583,8 +586,8 @@ class TestMeExactSeededKernel:
         )
         from oclcomputervision_tpu.utils import load_gray
 
-        f10 = np.asarray(load_gray("frame10.png"))[::4, ::4]
-        f11 = np.asarray(load_gray("frame11.png"))[::4, ::4]
+        f10 = np.asarray(load_gray("frame10.png"))[::6, ::6]
+        f11 = np.asarray(load_gray("frame11.png"))[::6, ::6]
         b0, b1 = np.stack([f10, f11]), np.stack([f11, f10])
         seed = rng.uniform(-6, 6, b0.shape + (2,)).astype(np.float32)
         got = np.asarray(
@@ -739,8 +742,8 @@ class TestMeFastKernel:
         )
         from oclcomputervision_tpu.utils import load_gray
 
-        f10 = np.asarray(load_gray("frame10.png"))[::4, ::4]
-        f11 = np.asarray(load_gray("frame11.png"))[::4, ::4]
+        f10 = np.asarray(load_gray("frame10.png"))[::6, ::6]
+        f11 = np.asarray(load_gray("frame11.png"))[::6, ::6]
         b0, b1 = np.stack([f10, f11]), np.stack([f11, f10])
         got = np.asarray(
             _fast_pallas(b0, b1, None, 15, 5, "shipped", 8, "sad", interpret=True)

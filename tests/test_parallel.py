@@ -141,7 +141,7 @@ class TestShardedRaisr:
         from oclcomputervision_tpu.utils.config import RaisrConfig
 
         cfg = RaisrConfig(fidelity="full")
-        hr = lenna_gray[:128, :128]
+        hr = lenna_gray[:128, :64]
         filters = train_filters([hr], cfg, chunk=512)
         lr = hr[::2, ::2].copy()  # any uint8 input works
 

@@ -155,7 +155,7 @@ class TestPlanePipeline:
         from oclcomputervision_tpu.ops.interpolation import _resize_plane
 
         cfg, s = tiny_cfg, tiny_cfg.scale
-        img = lenna_gray_mod[:96, :100]
+        img = lenna_gray_mod[:64, :100]
         h, w = img.shape
         h2p, w2p, hq, wq, hp = self._geom(img, cfg)
         x01 = jnp.asarray(img, jnp.float32) / 255.0
@@ -175,7 +175,7 @@ class TestPlanePipeline:
         from oclcomputervision_tpu.ops.interpolation import _resize_plane
 
         cfg, s = tiny_cfg, tiny_cfg.scale
-        img = lenna_gray_mod[:96, :100]
+        img = lenna_gray_mod[:64, :100]
         h, w = img.shape
         h2p, w2p, hq, wq, hp = self._geom(img, cfg)
         x01 = jnp.asarray(img, jnp.float32) / 255.0
@@ -197,7 +197,7 @@ class TestPlanePipeline:
     ):
         from oclcomputervision_tpu.utils import psnr
 
-        img = lenna_gray_mod[:96, :100]
+        img = lenna_gray_mod[:64, :100]
         if nchan == 1:
             src = img
         else:
@@ -260,7 +260,7 @@ class TestCtBlend:
         self, lenna_gray_mod, trained, tiny_cfg, nchan
     ):
         cfg = RaisrConfig(fidelity="full", blend="ct")
-        img = lenna_gray_mod[:96, :100]
+        img = lenna_gray_mod[:64, :100]
         src = img if nchan == 1 else np.stack(
             [img, np.roll(img, 7, 0), np.roll(img, 3, 1)], -1
         )
