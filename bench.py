@@ -21,10 +21,15 @@ Timing discipline for the tunneled TPU in this environment:
 - block_until_ready is NOT trustworthy through the tunnel; each call
   folds into a carried scalar and the final host readback of that
   scalar forces completion of the whole chain;
-- per-call host dispatch through the tunnel is ~13 ms and is NOT
-  amortized by chaining separate dispatches; each timed call is
-  therefore ONE jitted lax.scan over a stack of batches, so a single
-  dispatch covers the whole measured workload.
+- a SYNCHRONOUS call (dispatch + host readback of its result) costs
+  ~13 ms through the tunnel. Back-to-back dispatches whose results are
+  NOT read back do pipeline: the host enqueue (~1-2 ms) overlaps device
+  execution, so a chained per-frame loop sustains within ~25% of the
+  device rate (measured r4: video chain 536 fps vs scan 686 fps).
+  Each timed call here is still ONE jitted lax.scan over a stack of
+  batches - a single dispatch covers the whole measured workload, which
+  removes the enqueue-overlap ambiguity entirely rather than arguing
+  about it (examples/video_pipeline.py prints both protocols).
 """
 
 import json

@@ -123,6 +123,68 @@ def bench_hash(modes):
         )
 
 
+def bench_psnr(modes, scales=(2, 3, 4)):
+    """Score hash-kernel variants on the USER-VISIBLE criterion (VERDICT
+    r3 item 5): frame11 PSNR through the full e2e pipeline, plus e2e
+    device time at the 4MP-class bench geometry. The bucket-parity
+    contract (>= 0.9999 agreement) is a self-imposed proxy; a variant
+    that flips boundary-adjacent buckets but moves PSNR by
+    |dPSNR| <= 0.02 dB is admissible as an opt-in perf mode if it buys
+    >= 10% e2e throughput."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from oclcomputervision_tpu.models.raisr import RaisrModel
+    from oclcomputervision_tpu.ops.raisr import raisr_upsample
+    from oclcomputervision_tpu.utils import load_gray, psnr
+    from oclcomputervision_tpu.utils.assets import asset_path
+    from oclcomputervision_tpu.utils.profiling import profile_device
+
+    report = np.asarray(load_gray("frame11.png"))
+    base = load_gray("lenna.png").astype(np.float32)
+    for s in scales:
+        model = RaisrModel.load(
+            asset_path(f"raisr_filters_x{s}.npz"), fidelity="full"
+        )
+        filters = jnp.asarray(model.filters, jnp.float32)
+        # frame11 eval protocol (examples/train_banks.py degrade/quality)
+        h, w = (report.shape[0] // s) * s, (report.shape[1] // s) * s
+        hr = report[:h, :w]
+        lr = (
+            hr.reshape(h // s, s, w // s, s).mean(axis=(1, 3)).round()
+            .astype(np.uint8)
+        )
+        # 4MP-class batched timing geometry (bench.py protocol)
+        hb, wb = 2048 // s, 2048 // s
+        tile = np.tile(base, (-(-hb // 512), -(-wb // 512)))[:hb, :wb]
+        stack = jnp.asarray(
+            np.stack([np.roll(tile, 7 * i, 0) for i in range(16)])
+        ).astype(jnp.uint8)
+        jax.block_until_ready(stack)
+        base_psnr = None
+        for mode in modes:
+            cfg = dataclasses.replace(model.cfg, hash_mode=mode)
+            fn = jax.jit(lambda x, c=cfg: raisr_upsample(x, filters, c))
+            try:
+                out = np.asarray(fn(jnp.asarray(lr)))
+            except Exception as e:
+                print(f"x{s} {mode:22s}: FAIL {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                continue
+            p = psnr(out, hr)
+            tot = profile_device(fn, stack).pop("__total__")
+            if base_psnr is None:
+                base_psnr = p
+            print(
+                f"x{s} {mode:22s}: frame11 PSNR {p:.4f} dB "
+                f"(d={p - base_psnr:+.4f}), e2e {tot:7.3f} ms device "
+                f"per 16 imgs of 4MP output",
+                flush=True,
+            )
+
+
 def main():
     import jax
 
@@ -134,8 +196,17 @@ def main():
         bench_apply(rest or ["base", "g2", "g4", "g4w"])
     elif what == "hash":
         bench_hash(rest or ["halfplane", "ratio", "ratio_sym"])
+    elif what == "psnr":
+        bench_psnr(
+            rest
+            or [
+                "ratio_sym_roll_ns",
+                "ratio_sym_roll_ns_mm",
+                "ratio_sym_roll_ns_mmx",
+            ]
+        )
     else:
-        raise SystemExit(f"unknown target {what!r} (apply|hash)")
+        raise SystemExit(f"unknown target {what!r} (apply|hash|psnr)")
 
 
 if __name__ == "__main__":

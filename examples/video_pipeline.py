@@ -79,16 +79,47 @@ def main():
     acc = per_frame(frames[0], frames[1], acc)
     float(acc)
 
+    mp = h * w / 1e6
+
+    # (a) SUSTAINED throughput: one jitted lax.scan dispatch covers the
+    # whole frame chain (bench.py's timing discipline - no host-overlap
+    # ambiguity; this is the number bench.py emits as video_pipeline_fps)
+    stack = jax.block_until_ready(jnp.stack(frames))
+
+    @jax.jit
+    def chain(fs):
+        def step(acc, pc):
+            prev, cur = pc
+            return per_frame(prev, cur, acc), None
+
+        return jax.lax.scan(step, jnp.float32(0), (fs[:-1], fs[1:]))[0]
+
+    float(chain(stack))  # compile
+    t0 = time.perf_counter()
+    float(chain(stack))
+    dt_scan = (time.perf_counter() - t0) / (n - 1)
+    print(
+        f"sustained (one scan dispatch): {dt_scan * 1e3:.2f} ms/frame = "
+        f"{1 / dt_scan:.1f} fps ({mp / dt_scan:.0f} MP/s)"
+    )
+
+    # (b) STREAMING mode: one dispatch per frame, as a server receiving
+    # frames would issue them. The host enqueues asynchronously, so
+    # device execution of frame i overlaps the enqueue of frame i+1 -
+    # wall/frames therefore measures pipelined streaming throughput.
+    # It approaches (a) when per-frame device time exceeds the ~1-2 ms
+    # async enqueue cost, and is NOT the per-frame latency (that is
+    # enqueue + device + readback for a single frame, dominated by the
+    # ~13 ms tunnel round-trip in this environment).
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(1, n):
         acc = per_frame(frames[i - 1], frames[i], acc)
     float(acc)  # forced readback: completes the whole chain
     dt = (time.perf_counter() - t0) / (n - 1)
-    mp = h * w / 1e6
     print(
-        f"histeq + dense flow per frame: {dt * 1e3:.2f} ms = {1 / dt:.1f} fps "
-        f"({mp / dt:.0f} MP/s)"
+        f"streaming (dispatch per frame): {dt * 1e3:.2f} ms/frame = "
+        f"{1 / dt:.1f} fps ({mp / dt:.0f} MP/s)"
     )
 
 

@@ -577,7 +577,15 @@ def _raisr_planes_batched(imgs_u8, filters, cfg: RaisrConfig, nchan: int,
         # ~4 ms/img round-tripping fp32 gradient/blur intermediates
         # through HBM (~10x the kernel at s=3, measured). The tile rule
         # knows which (s, w2p) fit the Mosaic scoped-vmem limit.
-        bucket_pl = hash_planes_pallas(yuv_planes[0], cfg, interpret, h2p=h2p)
+        # cfg.hash_mode selects the kernel variant; the matmul-blur
+        # modes need a lane-multiple plane width (w2p is 128-padded
+        # above, so this always holds - the strip is a safety net).
+        amode = cfg.hash_mode
+        if (amode.endswith("_mm") or amode.endswith("_mmx")) and w2p % 128:
+            amode = amode.rsplit("_mm", 1)[0]
+        bucket_pl = hash_planes_pallas(
+            yuv_planes[0], cfg, interpret, h2p=h2p, angle_mode=amode
+        )
     else:
         # very wide high-scale geometry: the s^2 unrolled stencils
         # exceed scoped vmem at every tile height; XLA twin fallback

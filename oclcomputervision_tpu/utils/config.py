@@ -88,6 +88,16 @@ class RaisrConfig:
     # output as-is (the reference kernel has no blending stage).
     # Applies to fidelity='full' only.
     blend: str = "none"  # 'none' | 'ct'
+    # Pallas hash-kernel variant (raisr.cl:258-316's bucketing). The
+    # default is bit-faithful to the XLA twin away from fp bucket
+    # boundaries (>= 0.9999 agreement contract). Appending '_mm' runs
+    # the horizontal structure-tensor blur as banded MXU matmuls at
+    # DEFAULT precision - faster, but bf16 passes can flip buckets near
+    # quantizer boundaries, so it is gated on the user-visible criterion
+    # instead: |dPSNR| <= 0.02 dB on the held-out frame11 eval
+    # (measured table in ROADMAP). '_mmx' is the HIGHEST-precision
+    # variant. Lane-unaligned plane widths fall back to the default.
+    hash_mode: str = "ratio_sym_roll_ns"
 
     @property
     def num_pixel_type(self) -> int:

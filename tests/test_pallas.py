@@ -375,6 +375,61 @@ class TestHashKernel:
         )
         assert (c == b).mean() > 0.9999
 
+    def test_mm_blur_mode_agrees_and_plumbs(self, lenna_gray):
+        # '_mm'/'_mmx': the horizontal structure-tensor blur as banded
+        # MXU matmuls. The matmul re-associates the tap sums, so buckets
+        # are only boundary-flip-close, not bit-identical; on the CPU
+        # interpret backend both precisions run fp32, so agreement is
+        # near-total. The hardware gate is |dPSNR| <= 0.02 dB on frame11
+        # (benchmarks/raisr_kernel_variants.py psnr; ROADMAP table).
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from oclcomputervision_tpu.ops.pallas.raisr_pallas import (
+            HALO_ROWS, hash_planes_pallas, plane_halo,
+        )
+        from oclcomputervision_tpu.ops.pallas.upscale_pallas import (
+            upscale_planes_pallas,
+        )
+        from oclcomputervision_tpu.utils.config import RaisrConfig
+
+        cfg = RaisrConfig(fidelity="full")
+        hp = plane_halo(cfg.filter_len, cfg.scale, cfg.gauss_len)
+        img = lenna_gray[:128, :128].astype(np.float32) / 255.0
+        h2p = w2p = 128
+        hq, wq = h2p + HALO_ROWS, w2p + 128
+        planes = upscale_planes_pallas(jnp.asarray(img[None]), cfg, hq, wq, hp, True)
+        ref = np.asarray(
+            hash_planes_pallas(
+                planes, cfg, True, h2p=h2p, angle_mode="ratio_sym_roll_ns"
+            )
+        )
+        for mode in ("ratio_sym_roll_ns_mm", "ratio_sym_roll_ns_mmx"):
+            got = np.asarray(
+                hash_planes_pallas(planes, cfg, True, h2p=h2p, angle_mode=mode)
+            )
+            assert (got == ref).mean() > 0.999, mode
+        # cfg.hash_mode plumbs through the plane-native pipeline:
+        # outputs of the mm mode differ from the default only at
+        # bucket-flip pixels
+        from oclcomputervision_tpu.ops.raisr import _raisr_planes_batched
+
+        rng = np.random.default_rng(0)
+        filters = jnp.asarray(
+            rng.standard_normal((cfg.num_filters, cfg.filter_len**2), np.float32)
+            * 0.01
+        )
+        small = jnp.asarray(lenna_gray[:96, :96])[None]
+        a = np.asarray(
+            _raisr_planes_batched(small, filters, cfg, 1, interpret=True)
+        )
+        cfg_mm = dataclasses.replace(cfg, hash_mode="ratio_sym_roll_ns_mm")
+        b = np.asarray(
+            _raisr_planes_batched(small, filters, cfg_mm, 1, interpret=True)
+        )
+        assert (a == b).mean() > 0.995
+
 
 class TestApplyVariants:
     @pytest.mark.parametrize(
