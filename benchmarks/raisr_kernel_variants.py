@@ -174,7 +174,16 @@ def bench_psnr(modes, scales=(2, 3, 4)):
                       f"{str(e)[:160]}", flush=True)
                 continue
             p = psnr(out, hr)
-            tot = profile_device(fn, stack).pop("__total__")
+            # e2e device time at the batched geometry: warm at the
+            # profiled shape first, and force a real scalar readback
+            # INSIDE the trace (tunnel block_until_ready is unreliable)
+            fnb = jax.jit(
+                lambda x, c=cfg: jnp.sum(
+                    raisr_upsample(x, filters, c), dtype=jnp.int32
+                )
+            )
+            _ = int(fnb(stack))  # compile + warm
+            tot = profile_device(lambda: int(fnb(stack))).pop("__total__")
             if base_psnr is None:
                 base_psnr = p
             print(

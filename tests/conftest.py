@@ -20,8 +20,14 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# persistent compilation cache: repeated test runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/ocv_tpu_jax_cache")
+# persistent compilation cache: repeated test runs skip recompiles.
+# OCV_TEST_CACHE_DIR points the suite at its own cache when a TPU
+# process is live on the default dir - concurrent cache writes from two
+# processes have segfaulted jax's put_executable_and_time (r4).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("OCV_TEST_CACHE_DIR", "/tmp/ocv_tpu_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
