@@ -172,6 +172,12 @@ def bench_psnr(modes, scales=(2, 3, 4)):
             except Exception as e:
                 print(f"x{s} {mode:22s}: FAIL {type(e).__name__}: "
                       f"{str(e)[:160]}", flush=True)
+                if mode == modes[0]:
+                    # the FIRST mode is the declared baseline: without
+                    # it every later dPSNR would silently anchor to a
+                    # variant instead - print absolutes only
+                    print(f"x{s}: baseline mode failed; dPSNR suppressed",
+                          flush=True)
                 continue
             p = psnr(out, hr)
             # e2e device time at the batched geometry: warm at the
@@ -184,11 +190,12 @@ def bench_psnr(modes, scales=(2, 3, 4)):
             )
             _ = int(fnb(stack))  # compile + warm
             tot = profile_device(lambda: int(fnb(stack))).pop("__total__")
-            if base_psnr is None:
-                base_psnr = p
+            if mode == modes[0]:
+                base_psnr = p  # deltas anchor to the FIRST mode only
+            d = f"d={p - base_psnr:+.4f}" if base_psnr is not None else "d=n/a"
             print(
                 f"x{s} {mode:22s}: frame11 PSNR {p:.4f} dB "
-                f"(d={p - base_psnr:+.4f}), e2e {tot:7.3f} ms device "
+                f"({d}), e2e {tot:7.3f} ms device "
                 f"per 16 imgs of 4MP output",
                 flush=True,
             )

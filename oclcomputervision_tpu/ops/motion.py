@@ -176,7 +176,7 @@ def _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn="sad"):
         for v in vals
         for o in (-1, 0, 1)
     )
-    map_dt = jnp.int16 if costfn == "sad" and patch_size <= 16 else jnp.int32
+    map_dt = jnp.int16 if costfn == "sad" and patch_size <= 11 else jnp.int32
     f0e = jnp.pad(gray0.astype(jnp.int32), pm)  # zeros (oracle padding)
     pad1 = pm + vmax
     f1e = jnp.pad(gray1.astype(jnp.int32), pad1)
@@ -282,10 +282,12 @@ def _estimate_2d_smap_seeded(
     f1e = jnp.pad(gray1.astype(jnp.int32), pad1)
     he, we = h + 2 * pm, w + 2 * pm
 
-    # SAD patch sums fit int16 (<= patch^2 * 255 = 6375): halving the
-    # map dtype halves the stack's HBM traffic and the VPU vregs of
-    # every masked select (SSD sums can reach 25*255^2 - int32 there)
-    map_dt = jnp.int16 if costfn == "sad" and patch_size <= 16 else jnp.int32
+    # SAD patch sums fit int16 only while patch^2 * 255 <= 32767, i.e.
+    # patch_size <= 11 (11^2*255 = 30855; 13^2*255 = 43095 would wrap
+    # negative and silently corrupt the argmin): halving the map dtype
+    # halves the stack's HBM traffic and the VPU vregs of every masked
+    # select (SSD sums can reach 25*255^2 - int32 there)
+    map_dt = jnp.int16 if costfn == "sad" and patch_size <= 11 else jnp.int32
 
     # all (2*vmax+1)^2 shifted cost maps, ONE scan iteration per ROW of
     # shifts (a per-map scan paid ~0.2 ms of while-iteration overhead
@@ -386,6 +388,124 @@ def _estimate_2d_smap_seeded(
     return jnp.stack([du, dv], axis=-1)
 
 
+def _me_boxsum(img, S, w, patch_size):
+    """Separable (2*pm+1)-tap zero-padded patch sum (the fast mode's
+    cost aggregation; shared by the full-image loop and its band twin)."""
+    pm = patch_size // 2
+    p = jnp.pad(img, ((pm, pm), (0, 0)))
+    v = jnp.zeros_like(img)
+    for k in range(patch_size):
+        v = v + jax.lax.slice(p, (k, 0), (k + S, w))
+    p = jnp.pad(v, ((0, 0), (pm, pm)))
+    o = jnp.zeros_like(img)
+    for k in range(patch_size):
+        o = o + jax.lax.slice(p, (0, k), (S, k + w))
+    return o
+
+
+def _residual_shift_warp(f1pad, rb, S, w, dy, dx, vals):
+    """Masked-shift residual warp: the residual state provably stays in
+    this round's reachable set ``vals`` (it starts at 0; each update
+    adds -step/0/step and the median-of-9 SELECTS one of its inputs),
+    so the select only needs |vals|^2 terms, not the full (2 rb + 1)^2
+    square: 0 + 9 + 81 selects across the 15/5 rounds instead of
+    3 x 289 (dropped terms have all-false masks and add exactly 0 -
+    bit-identical)."""
+    if vals == [0]:
+        return jax.lax.slice(f1pad, (rb, rb), (rb + S, rb + w))
+    mx = {v: dx == v for v in vals}
+    w1 = jnp.zeros((S, w), jnp.int32)
+    for vy in vals:
+        inner = jnp.zeros((S, w), jnp.int32)
+        for vx in vals:
+            sl = jax.lax.slice(
+                f1pad, (rb + vy, rb + vx), (rb + vy + S, rb + vx + w)
+            )
+            inner = inner + jnp.where(mx[vx], sl, 0)
+        w1 = w1 + jnp.where(dy == vy, inner, 0)
+    return w1
+
+
+def _fast_rounds(
+    f0, steps, patch_size, costfn, warp_fn, S, w,
+    init_dy=None, init_dx=None, in_img=None, grow=None, h_img=None,
+):
+    """The fast mode's round loop, shared VERBATIM by _estimate_2d_fast
+    and _fast_residual_band (their bit-identity is the sharding
+    correctness contract - one implementation, not two copies): warp ->
+    9 statically-shifted boxsum costs -> argmin update -> median-of-9
+    regularization, once per shrinking step.
+
+    ``in_img``/``grow`` carry the band twin's true-image-edge masks
+    ([S, 1] global-row predicates); None means full image - every mask
+    branch disappears at trace time, so the full-image path pays
+    nothing for the sharing. ``init_dy/dx`` seed the state for the
+    legacy full-field gather mode (residual modes start at 0).
+
+    The 3x3 state median uses Paeth's 19-exchange median-of-9 network
+    (~6x cheaper on the VPU than jnp.sort of the 9-stack); column
+    neighbors edge-replicate at the true (full-width) image columns,
+    row neighbors at the true image rows (a band edge is not an image
+    edge)."""
+
+    def median3x3(a):
+        pd = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
+        ctr = pd[1:-1, 1:-1]
+        if grow is None:
+            up, dn = pd[:-2, 1:-1], pd[2:, 1:-1]
+        else:
+            up = jnp.where(grow >= 1, pd[:-2, 1:-1], ctr)
+            dn = jnp.where(grow <= h_img - 2, pd[2:, 1:-1], ctr)
+        v = []
+        for row in (up, ctr, dn):
+            rp = jnp.pad(row, ((0, 0), (1, 1)), mode="edge")
+            v.extend([rp[:, :-2], row, rp[:, 2:]])
+
+        def cx(i, j):
+            lo = jnp.minimum(v[i], v[j])
+            v[j] = jnp.maximum(v[i], v[j])
+            v[i] = lo
+
+        for i, j in MEDIAN9_EXCHANGES:
+            cx(i, j)
+        return v[4]
+
+    dy = jnp.zeros((S, w), jnp.int32) if init_dy is None else init_dy
+    dx = jnp.zeros((S, w), jnp.int32) if init_dx is None else init_dx
+    for step, vals in zip(steps, _reachable_sets(steps)):
+        w1 = warp_fn(dy, dx, vals)
+        if in_img is not None:
+            # a band row outside the global image could otherwise warp
+            # real frame rows into view (the full-image w1 only exists
+            # on [h, w])
+            w1 = jnp.where(in_img, w1, 0)
+        w1p = jnp.pad(w1, ((step, step), (step, step)))
+        sads = []
+        for oy in (-step, 0, step):
+            for ox in (-step, 0, step):
+                shifted = jax.lax.slice(
+                    w1p, (step + oy, step + ox), (step + oy + S, step + ox + w)
+                )
+                if costfn == "sad":
+                    diff = jnp.abs(f0 - shifted)
+                elif costfn == "ssd":
+                    diff = (f0 - shifted) * (f0 - shifted)
+                else:
+                    # the WSAD matmul cost has no shifted-boxsum form;
+                    # it exists only on the exact path
+                    raise ValueError(f"costfn {costfn!r} requires method='exact'")
+                if in_img is not None:
+                    # a +-step candidate shift can carry in-image w1
+                    # data into an out-of-image diff row, which the
+                    # full-image box sum zero-pads
+                    diff = jnp.where(in_img, diff, 0)
+                sads.append(_me_boxsum(diff, S, w, patch_size))
+        best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
+        dy = median3x3(dy + (best // 3 - 1) * step)
+        dx = median3x3(dx + (best % 3 - 1) * step)
+    return dy, dx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -427,7 +547,6 @@ def _estimate_2d_fast(
     gather of the full field.
     """
     h, w = gray0.shape
-    pm = patch_size // 2
     ys, xs = jnp.mgrid[0:h, 0:w]
     ys = ys.astype(jnp.int32)
     xs = xs.astype(jnp.int32)
@@ -448,104 +567,35 @@ def _estimate_2d_fast(
     pix_dt = jnp.int32
     f0 = gray0.astype(pix_dt)
 
-    def boxsum(img):
-        # separable (2*pm+1)-tap sum with zero padding
-        p = jnp.pad(img, ((pm, pm), (0, 0)))
-        v = jnp.zeros_like(img)
-        for k in range(patch_size):
-            v = v + jax.lax.slice(p, (k, 0), (k + h, w))
-        p = jnp.pad(v, ((0, 0), (pm, pm)))
-        o = jnp.zeros_like(img)
-        for k in range(patch_size):
-            o = o + jax.lax.slice(p, (0, k), (h, k + w))
-        return o
-
-    def median3x3(a):
-        # 3x3 median (edge-replicated) regularizes the warp feedback.
-        # Paeth's 19-exchange median-of-9 network: ~6x cheaper on the
-        # VPU than jnp.sort of the 9-stack (0.31 ms/sort at VGA).
-        pd = jnp.pad(a, 1, mode="edge")
-        v = [
-            jax.lax.slice(pd, (i, j), (i + h, j + w))
-            for i in range(3)
-            for j in range(3)
-        ]
-
-        def cx(i, j):
-            lo = jnp.minimum(v[i], v[j])
-            v[j] = jnp.maximum(v[i], v[j])
-            v[i] = lo
-
-        for i, j in MEDIAN9_EXCHANGES:
-            cx(i, j)
-        return v[4]
-
     steps = me_steps(search_size, patch_size)
-    base_y = base_x = None
     if warp_bound is not None:
         if warp_bound >= 0:
             # legacy saturation contract: clamp the seed base ONCE
             dy = jnp.clip(dy, -warp_bound, warp_bound)
             dx = jnp.clip(dx, -warp_bound, warp_bound)
         base_y, base_x = dy, dx
-        dy = jnp.zeros_like(dy)  # dy/dx become the search residuals
-        dx = jnp.zeros_like(dx)
         if has_seed:
             base1 = _gather_padded_u8(gray1, ys + base_y, xs + base_x)
         else:
             base1 = gray1
         rb = sum(steps)  # exact residual bound (see docstring)
         f1pad = jnp.pad(base1.astype(pix_dt), rb)
-
-    def warp(ry, rx, vals):
-        if warp_bound is None:
+        rdy, rdx = _fast_rounds(
+            f0, steps, patch_size, costfn,
+            lambda a, b, vals: _residual_shift_warp(f1pad, rb, h, w, a, b, vals),
+            h, w,
+        )
+        dy = base_y + rdy
+        dx = base_x + rdx
+    else:
+        # legacy unbounded mode: gather the FULL field every round
+        def warp_gather(ry, rx, vals):
             return _gather_padded_u8(gray1, ys + ry, xs + rx).astype(pix_dt)
-        # the residual state provably stays in this round's reachable
-        # set ``vals`` (it starts at 0; each update adds -step/0/step
-        # and the median-of-9 SELECTS one of its inputs), so the
-        # masked-shift select only needs |vals|^2 terms, not the full
-        # (2 rb + 1)^2 square: 0 + 9 + 81 selects across the 15/5
-        # rounds instead of 3 x 289 (dropped terms have all-false
-        # masks and add exactly 0 - bit-identical)
-        if vals == [0]:
-            return jax.lax.slice(f1pad, (rb, rb), (rb + h, rb + w))
-        mx = {v: rx == v for v in vals}
-        w1 = jnp.zeros((h, w), pix_dt)
-        for vy in vals:
-            inner = jnp.zeros((h, w), pix_dt)
-            for vx in vals:
-                sl = jax.lax.slice(
-                    f1pad, (rb + vy, rb + vx), (rb + vy + h, rb + vx + w)
-                )
-                inner = inner + jnp.where(mx[vx], sl, 0)
-            w1 = w1 + jnp.where(ry == vy, inner, 0)
-        return w1
 
-    for step, vals in zip(steps, _reachable_sets(steps)):
-        w1 = warp(dy, dx, vals)
-        w1p = jnp.pad(w1, ((step, step), (step, step)))
-        sads = []
-        for iy, oy in enumerate((-step, 0, step)):
-            for ix, ox in enumerate((-step, 0, step)):
-                shifted = jax.lax.slice(
-                    w1p, (step + oy, step + ox), (step + oy + h, step + ox + w)
-                )
-                if costfn == "sad":
-                    diff = jnp.abs(f0 - shifted)
-                elif costfn == "ssd":
-                    diff = (f0 - shifted) * (f0 - shifted)
-                else:
-                    # the WSAD matmul cost has no shifted-boxsum form;
-                    # it exists only on the exact path
-                    raise ValueError(f"costfn {costfn!r} requires method='exact'")
-                sads.append(boxsum(diff))
-        best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
-        dy = median3x3(dy + (best // 3 - 1) * step)
-        dx = median3x3(dx + (best % 3 - 1) * step)
-
-    if base_y is not None:
-        dy = base_y + dy
-        dx = base_x + dx
+        dy, dx = _fast_rounds(
+            f0, steps, patch_size, costfn, warp_gather, h, w,
+            init_dy=dy, init_dx=dx,
+        )
     du = dx.astype(jnp.float32)
     dv = dy.astype(jnp.float32)
     if seed_mode == "shipped":
@@ -599,80 +649,17 @@ def _fast_residual_band(
     via ppermute, run this band locally, and crop the halo.
     """
     S = f0_ext.shape[0]
-    pm = patch_size // 2
     steps = me_steps(search_size, patch_size)
     f0 = f0_ext.astype(jnp.int32)
     rb = sum(steps)
     grow = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]  # global row ids
     in_img = (grow >= 0) & (grow < h)  # [S, 1], broadcasts over w
     f1pad = jnp.pad(f1_ext.astype(jnp.int32), rb)
-
-    def boxsum(img):
-        p = jnp.pad(img, ((pm, pm), (0, 0)))
-        v = jnp.zeros_like(img)
-        for k in range(patch_size):
-            v = v + jax.lax.slice(p, (k, 0), (k + S, w))
-        p = jnp.pad(v, ((0, 0), (pm, pm)))
-        o = jnp.zeros_like(img)
-        for k in range(patch_size):
-            o = o + jax.lax.slice(p, (0, k), (S, k + w))
-        return o
-
-    def median3x3(a):
-        # column neighbors edge-replicate at the true (full-width)
-        # image columns; row neighbors replicate ONLY at the true
-        # image rows (a band edge is not an image edge)
-        pd = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
-        ctr = pd[1:-1, 1:-1]
-        up = jnp.where(grow >= 1, pd[:-2, 1:-1], ctr)
-        dn = jnp.where(grow <= h - 2, pd[2:, 1:-1], ctr)
-        v = []
-        for row in (up, ctr, dn):
-            rp = jnp.pad(row, ((0, 0), (1, 1)), mode="edge")
-            v.extend([rp[:, :-2], row, rp[:, 2:]])
-
-        def cx(i, j):
-            lo = jnp.minimum(v[i], v[j])
-            v[j] = jnp.maximum(v[i], v[j])
-            v[i] = lo
-
-        for i, j in MEDIAN9_EXCHANGES:
-            cx(i, j)
-        return v[4]
-
-    dy = jnp.zeros((S, w), jnp.int32)
-    dx = jnp.zeros((S, w), jnp.int32)
-    for step, vals in zip(steps, _reachable_sets(steps)):
-        if vals == [0]:
-            w1 = jax.lax.slice(f1pad, (rb, rb), (rb + S, rb + w))
-        else:
-            mx = {v: dx == v for v in vals}
-            w1 = jnp.zeros((S, w), jnp.int32)
-            for vy in vals:
-                inner = jnp.zeros((S, w), jnp.int32)
-                for vx in vals:
-                    sl = jax.lax.slice(
-                        f1pad, (rb + vy, rb + vx), (rb + vy + S, rb + vx + w)
-                    )
-                    inner = inner + jnp.where(mx[vx], sl, 0)
-                w1 = w1 + jnp.where(dy == vy, inner, 0)
-        w1 = jnp.where(in_img, w1, 0)
-        w1p = jnp.pad(w1, ((step, step), (step, step)))
-        sads = []
-        for oy in (-step, 0, step):
-            for ox in (-step, 0, step):
-                shifted = jax.lax.slice(
-                    w1p, (step + oy, step + ox), (step + oy + S, step + ox + w)
-                )
-                if costfn == "sad":
-                    diff = jnp.abs(f0 - shifted)
-                else:  # ssd
-                    diff = (f0 - shifted) * (f0 - shifted)
-                sads.append(boxsum(jnp.where(in_img, diff, 0)))
-        best = jnp.argmin(jnp.stack(sads), axis=0).astype(jnp.int32)
-        dy = median3x3(dy + (best // 3 - 1) * step)
-        dx = median3x3(dx + (best % 3 - 1) * step)
-
+    dy, dx = _fast_rounds(
+        f0, steps, patch_size, costfn,
+        lambda a, b, vals: _residual_shift_warp(f1pad, rb, S, w, a, b, vals),
+        S, w, in_img=in_img, grow=grow, h_img=h,
+    )
     return jnp.stack([dx, dy], axis=-1)
 
 
@@ -870,7 +857,7 @@ def estimate_motion_vector(
         )
         nmaps = (2 * (sb + rel_max) + 1) ** 2
         hw = gray0.shape[-2] * gray0.shape[-1]
-        map_bytes = 2 if costfn == "sad" and patch_size <= 16 else 4
+        map_bytes = 2 if costfn == "sad" and patch_size <= 11 else 4
         # live S-map stack budget (HBM only; int16 SAD maps halve it)
         if nmaps * hw * map_bytes <= 6e9:
             _warn_seed_saturation(seed, sb, "seed_bound")
@@ -1205,9 +1192,11 @@ def estimate_motion_pyramid(
     flow. On Middlebury this scores BETTER than the reference-faithful
     full-exact pyramid - EPE 3.17 vs 3.44 vs 5.10 pure-fast (round-4
     sweep, ROADMAP) - because the fast rounds' interleaved medians
-    regularize the seeds the exact pass then searches around. 'exact'
-    forces the same refinement passes for any method; 'none' disables
-    refinement (pure fast, the 766 MP/s single-field mode).
+    regularize the seeds the exact pass then searches around. With
+    ``levels=1`` 'auto' stays pure fast (there is no cheap coarsest
+    level to trade). 'exact' forces the same refinement passes for any
+    method; 'none' disables refinement (pure fast, the 766 MP/s
+    single-field mode).
     """
     from oclcomputervision_tpu.ops.pyramid import gaussian_pyramid
 
@@ -1222,7 +1211,14 @@ def estimate_motion_pyramid(
     pyr1 = gaussian_pyramid(gray1, 2, levels, batched=batched)
     if refine not in ("auto", "exact", "none"):
         raise ValueError(f"unknown refine mode {refine!r}")
-    do_refine = refine == "exact" or (refine == "auto" and method == "fast")
+    # 'auto' needs >= 2 levels: with a single level the "coarsest" IS
+    # the full-resolution frame, and swapping the requested fast search
+    # for a full-res unseeded exact one would silently cost orders of
+    # magnitude (the single-level fast call is the documented serving
+    # mode) - levels=1 'auto' stays pure fast.
+    do_refine = refine == "exact" or (
+        refine == "auto" and method == "fast" and levels > 1
+    )
     flows = []
     seed = None
     for lv in range(levels):
@@ -1241,16 +1237,30 @@ def estimate_motion_pyramid(
             # re-evaluates every pixel's 3x3x3-round search exactly
             # (the fast candidate costs read neighbors' displacements
             # at window edges; this removes that approximation). The
-            # seed is OUR OWN intermediate: clamp its outlier tail to
-            # the seeded kernel's 32 px cap up front (a >32 px value in
-            # a fast flow is noise; re-searching +-reach around the cap
-            # beats keeping it) - no saturation warning applies.
+            # seed is OUR OWN intermediate, so the user's seed_bound
+            # (a level-seed policy) does not apply here: size the
+            # bound from the concrete refine seed itself (same {8..32}
+            # quanta as 'auto'), clamp the outlier tail to it (a >32 px
+            # value in a fast flow is noise; re-searching +-reach
+            # around the cap beats keeping it), and pass the SAME
+            # bound down - bound == clamp, so the pass is never
+            # silently saturated and never warns. Under an enclosing
+            # jit the seed is a tracer: use the full 32 px cap
+            # (correct-by-default; eager picks the cheaper quantum).
             sk = smooth if smooth > 0 else 5
-            rs = jnp.clip(median_filter_flow(mv, sk), -32.0, 32.0)
+            rs = median_filter_flow(mv, sk)
+            rb = 32
+            if not isinstance(rs, jax.core.Tracer):
+                bm = float(np.max(np.abs(np.trunc(np.asarray(rs)))))
+                for q in (8, 12, 16, 20, 24, 32):
+                    rb = q
+                    if bm <= q:
+                        break
+            rs = jnp.clip(rs, -float(rb), float(rb))
             mv = estimate_motion_vector(
                 pyr0[lv], pyr1[lv], search_size, patch_size,
                 seed=rs, seed_mode="fixed",
-                method="exact", seed_bound=seed_bound,
+                method="exact", seed_bound=rb,
             )
         if subpixel > 0:
             sk = smooth if smooth > 0 else 5

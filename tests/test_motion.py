@@ -584,3 +584,98 @@ class TestHybridRefine:
             g0, g1, 2, method="exact", smooth=5, refine="none"
         )
         np.testing.assert_array_equal(np.asarray(a[-1]), np.asarray(b[-1]))
+
+
+class TestReviewRegressions:
+    """Round-4 review findings: int16 cost-map overflow, hybrid-refine
+    bound semantics, and the levels=1 'auto' schedule."""
+
+    def test_exact_patch13_no_int16_overflow(self):
+        # patch 13: max SAD sum 13^2*255 = 43095 > int16 max. Frames
+        # are built so every wrong candidate's cost overflows int16
+        # (f0 all-zero, f1 all-255 except a zero block): a wrapped
+        # negative cost would beat the true zero-cost match.
+        h, w = 40, 48
+        f0 = np.zeros((h, w), np.uint8)
+        f1 = np.full((h, w), 255, np.uint8)
+        f1[10:30, 14:40] = 0
+        want = onp.estimate_motion_vector(f0, f1, 15, 13)
+        got = np.asarray(ops.estimate_motion_vector(f0, f1, 15, 13))
+        np.testing.assert_array_equal(got, want)
+
+    def test_levels1_auto_stays_fast(self, frames_gray, monkeypatch):
+        # levels=1 has no cheap coarsest level: 'auto' must not swap
+        # the requested fast search for a full-res unseeded exact one
+        g0 = frames_gray[0][::8, ::8]
+        g1 = frames_gray[1][::8, ::8]
+        calls = []
+        orig = ops.estimate_motion_vector
+
+        def spy(*a, **k):
+            calls.append(k)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ops, "estimate_motion_vector", spy)
+        ops.estimate_motion_pyramid(g0, g1, 1, method="fast", smooth=5)
+        assert len(calls) == 1 and calls[0]["method"] == "fast"
+
+    def test_refine_pass_bound_equals_clip(self, frames_gray, monkeypatch):
+        # the refine seed is the driver's OWN intermediate: its bound
+        # must be sized from (and equal to) the clamp applied to it,
+        # independent of the user's level-seed policy - a forwarded
+        # user bound < the 32 px clip would silently saturate AND fire
+        # a spurious saturation warning about a seed the user never
+        # passed
+        import warnings
+
+        g0 = frames_gray[0][::8, ::8]
+        g1 = frames_gray[1][::8, ::8]
+        calls = []
+        orig = ops.estimate_motion_vector
+
+        def spy(*a, **k):
+            calls.append(k)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ops, "estimate_motion_vector", spy)
+        with warnings.catch_warnings():
+            # seed_bound=8 covers the tiny ::8 level seeds, so ANY
+            # RuntimeWarning here is the refine pass mis-forwarding
+            # the user bound against its own 32 px-clipped seed
+            warnings.simplefilter("error", RuntimeWarning)
+            ops.estimate_motion_pyramid(
+                g0, g1, 2, method="fast", smooth=5, seed_bound=8
+            )
+        refine = [
+            k for k in calls
+            if k.get("method") == "exact" and k.get("seed_mode") == "fixed"
+            and k.get("seed") is not None
+        ]
+        assert refine, "hybrid schedule ran no refine pass"
+        for k in refine:
+            rb = k["seed_bound"]
+            assert isinstance(rb, int) and 8 <= rb <= 32
+            base = np.abs(np.trunc(np.asarray(k["seed"])))
+            assert float(base.max()) <= rb
+
+    def test_hybrid_refine_jit_matches_eager(self):
+        # under jit the refine seed is a tracer: the bound must degrade
+        # to the full 32 px clip (NOT the 8-px tracer default), so the
+        # jitted pyramid equals the eager one whenever seeds stay
+        # within both bounds
+        import cv2
+        import jax
+
+        rng = np.random.default_rng(7)
+        base = cv2.GaussianBlur(
+            rng.integers(0, 256, (64, 112), np.uint8), (9, 9), 3
+        )
+        g0 = base[:, :96]
+        g1 = np.roll(base, (0, -12), (0, 1))[:, :96]  # 12 px, > the 8 default
+        eager = ops.estimate_motion_pyramid(g0, g1, 2, method="fast", smooth=5)
+        jitted = jax.jit(
+            lambda a, b: ops.estimate_motion_pyramid(
+                a, b, 2, method="fast", smooth=5
+            )[-1]
+        )(g0, g1)
+        np.testing.assert_array_equal(np.asarray(eager[-1]), np.asarray(jitted))
