@@ -827,6 +827,7 @@ def estimate_motion_vector(
         from oclcomputervision_tpu.ops.pallas.me_pallas import (
             me_exact_pallas_seeded,
             me_exact_pallas_seeded_supported,
+            seeded_rebase_bound,
         )
 
         sd = jnp.asarray(seed)
@@ -840,10 +841,16 @@ def estimate_motion_vector(
             # device vs ~33 for the XLA S-map stack (bit-identical).
             # No HBM budget gate applies - the bands live in VMEM
             _warn_seed_saturation(seed, sb, "seed_bound")
+            # per-band seed rebasing (bit-identical, concrete seeds
+            # only): scan +-rb around each band's midpoint instead of
+            # +-sb around zero - the scan cost is quadratic in the
+            # bound and pyramid seeds vary far less within a 32-row
+            # band than globally (Middlebury finest level: 32 -> 20)
+            rb = seeded_rebase_bound(seed, gray0.shape[-2], sb)
             try:
                 return me_exact_pallas_seeded(
                     gray0, gray1, sd, search_size, patch_size,
-                    costfn, seed_mode, sb,
+                    costfn, seed_mode, sb, rebase_bound=rb,
                 )
             except Exception as e:  # Mosaic scoped-vmem OOM -> XLA
                 _vmem_fallback_warn(

@@ -282,8 +282,80 @@ def me_exact_pallas(
     return flow[0] if squeeze else flow
 
 
+def _band_bases(ay, ax, bh: int, hp: int):
+    """Per-band midpoint bases of the clipped integer seed planes.
+
+    ``ay``/``ax`` are [bsz, h, w] int32 (already clipped to [-B, B]);
+    rows are edge-extended to ``hp`` so a partial last band is sized
+    from real data, not padding zeros. Returns two [bsz, hp//bh] int32
+    arrays. Floor-division midpoint: every in-band value sits within
+    ceil((max - min) / 2) of its base. The ROW base is additionally
+    rounded to the nearest multiple of 8 (cost: <= 4 extra residual):
+    it offsets the band's f1 DMA start, and Mosaic requires dynamic
+    sublane starts provably divisible by the (8, 128) tile - the
+    rounding is what lets the kernel assert pl.multiple_of(. , 8).
+    Plain jnp so the dispatcher can evaluate the SAME formula eagerly
+    when sizing the static residual bound (seeded_rebase_bound) - one
+    implementation, no drift."""
+    bsz, h, w = ay.shape
+
+    def bases(a, sublane_quant):
+        a = jnp.pad(a, ((0, 0), (0, hp - h), (0, 0)), mode="edge")
+        a = a.reshape(bsz, hp // bh, bh * w)
+        mid = (jnp.min(a, axis=2) + jnp.max(a, axis=2)) // 2
+        return ((mid + 4) // 8) * 8 if sublane_quant else mid
+
+    return bases(ay, True), bases(ax, False)
+
+
+REBASE_QUANTA = (4, 8, 12, 16, 20, 24)
+
+
+def seeded_rebase_bound(seed, h: int, seed_bound: int):
+    """Static per-band rebase residual bound for me_exact_pallas_seeded.
+
+    The seeded search's device cost is quadratic in the scan width
+    2*bound + O(1) (round-4 probe: 9.7 ms/VGA frame at B=8 -> 63.4 at
+    B=32), but a pyramid seed's RANGE within one 32-row band is far
+    narrower than its global range (Middlebury finest level: global
+    |seed| reaches 29 px, per-band midpoint residuals max 20). Rebasing
+    each band at its midpoint lets the kernel scan +-B_eff around a
+    per-band base instead of +-B around zero - bit-identical (same
+    absolute candidates, same tie order), just indexed differently.
+
+    Returns the smallest quantum in REBASE_QUANTA that covers every
+    band's midpoint residual of trunc(seed) clipped to [-seed_bound,
+    seed_bound], or None when the seed is a tracer (no concrete bands
+    to size) or no quantum < seed_bound covers it (rebasing would not
+    shrink the scan). Quantized so compile variants stay bounded."""
+    if isinstance(seed, jax.core.Tracer):
+        return None
+    seed = np.asarray(seed)
+    if seed.ndim == 3:
+        seed = seed[None]
+    B = int(seed_bound)
+    ay = np.clip(np.trunc(seed[..., 1]), -B, B).astype(np.int32)
+    ax = np.clip(np.trunc(seed[..., 0]), -B, B).astype(np.int32)
+    bh = min(BAND_H, max(8, -(-h // 8) * 8))
+    hp = -(-h // bh) * bh
+    by, bx = _band_bases(jnp.asarray(ay), jnp.asarray(ax), bh, hp)
+    by = np.asarray(by)[:, :, None, None]
+    bx = np.asarray(bx)[:, :, None, None]
+    pad = ((0, 0), (0, hp - ay.shape[1]), (0, 0))
+    ayp = np.pad(ay, pad, mode="edge").reshape(by.shape[0], hp // bh, bh, -1)
+    axp = np.pad(ax, pad, mode="edge").reshape(by.shape[0], hp // bh, bh, -1)
+    resid = max(np.abs(ayp - by).max(), np.abs(axp - bx).max())
+    for q in REBASE_QUANTA:
+        if q >= B:
+            return None
+        if resid <= q:
+            return q
+    return None
+
+
 def _make_me_seeded_kernel(
     steps, bh: int, wp: int, pm: int, vmax: int, B: int, costfn: str,
+    B_eff=None,
 ):
     """Seeded twin of _make_me_kernel (pyramid levels > 0).
 
@@ -301,22 +373,63 @@ def _make_me_seeded_kernel(
     S_{vy + off[oi], xneed[j]} (stage A), then 9 candidate costs are
     selected per column displacement (stage B) - O(|aset|) masked adds
     per candidate instead of O(|aset|^2).
+
+    ``B_eff`` (< B) switches on PER-BAND REBASING: the kernel receives
+    per-band bases (by, bx) as SMEM scalars and scans only +-B_eff
+    around them instead of +-B around zero - the quadratic scan width
+    shrinks from 2B+O(1) to 2*B_eff+O(1). Rows rebase in the f1 DMA
+    start (row bases are sublane-quantized to multiples of 8 by
+    _band_bases, so the dynamic start carries a pl.multiple_of(., 8)
+    proof Mosaic demands of tiled dynamic slices);
+    columns rebase in the rot-plane index (dim 0 of the scratch is
+    already a dynamic index). Bit-identical to the unrebased kernel
+    whenever every band's residual fits B_eff (seeded_rebase_bound
+    guarantees it); residuals beyond B_eff clamp to the band-local
+    window [base - B_eff, base + B_eff]. A scanned absolute
+    displacement can exceed +-vmax when |base| + B_eff + rel > B + rel
+    - such candidates are unreachable by any valid state (|state| <= B
+    + max vals), so their plane index clamps into range and their
+    garbage slabs die in all-False masks (integer zeros, no poison).
     """
     patch = 2 * pm + 1
-    f0_rows, f1_rows = _band_rows(bh, pm, vmax)
+    rebase = B_eff is not None
+    vmax_b = (vmax - B + B_eff) if rebase else vmax  # rows f1b must span
+    f0_rows, f1_rows = _band_rows(bh, pm, vmax_b)
+    BB = B_eff if rebase else B
     axis_sets = _reachable_sets(steps)
     boxsum = _make_boxsum(patch, bh, f0_rows, wp)
 
-    def kernel(f0_hbm, f1_hbm, ay_ref, ax_ref, u_ref, v_ref,
-               f0b, f1b, rot, Rs, sems):
+    def kernel(*refs):
+        if rebase:
+            (f0_hbm, f1_hbm, ay_ref, ax_ref, by_ref, bx_ref,
+             u_ref, v_ref, f0b, f1b, rot, Rs, sems) = refs
+        else:
+            (f0_hbm, f1_hbm, ay_ref, ax_ref,
+             u_ref, v_ref, f0b, f1b, rot, Rs, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
+        if rebase:
+            by = by_ref[b, i]
+            bx = bx_ref[b, i]
+        else:
+            by = bx = 0
         r0 = i * bh
         cp0 = pltpu.make_async_copy(
             f0_hbm.at[b, pl.ds(r0, f0_rows), :], f0b, sems.at[0]
         )
+        # rebased f1 band: image sits at row pm + vmax_b + Bq in f1e,
+        # so reading from r0 + by + Bq centers the band's +-vmax_b
+        # reach on its base displacement (start >= 0 since by >= -Bq).
+        # by is a multiple of 8 by construction (_band_bases) and Bq
+        # rounds B up to one, so the dynamic start provably satisfies
+        # the (8, 128) sublane tiling - assert it via pl.multiple_of.
+        Bq = -(-B // 8) * 8
+        f1_start = (
+            pl.multiple_of(r0 + by + Bq, 8) if rebase else r0
+        )
         cp1 = pltpu.make_async_copy(
-            f1_hbm.at[b, pl.ds(r0, f1_rows), :], f1b, sems.at[1]
+            f1_hbm.at[b, pl.ds(f1_start, f1_rows), :],
+            f1b, sems.at[1],
         )
         cp0.start()
         cp1.start()
@@ -324,15 +437,27 @@ def _make_me_seeded_kernel(
         cp1.wait()
 
         for sft in range(2 * vmax + 1):
-            rot[sft] = pltpu.roll(f1b[:], wp - sft, 1) if sft else f1b[:]
+            if rebase and sft:
+                # only the 2*vmax_b+1 planes within reach of this
+                # band's column base are ever read - skip the rest
+                @pl.when(jnp.abs(sft - (bx + vmax)) <= vmax_b)
+                def _build(sft=sft):
+                    rot[sft] = pltpu.roll(f1b[:], wp - sft, 1)
+            else:
+                rot[sft] = pltpu.roll(f1b[:], wp - sft, 1) if sft else f1b[:]
 
         f0 = f0b[:]
         ay = ay_ref[0]
         ax = ax_ref[0]
+        if rebase:
+            # band-local residual state (clip bounds misuse; a no-op
+            # whenever seeded_rebase_bound sized B_eff)
+            ay = jnp.clip(ay - by, -BB, BB)
+            ax = jnp.clip(ax - bx, -BB, BB)
 
         for st, vals in zip(steps, axis_sets):
-            a_lo = -B + min(vals)
-            a_hi = B + max(vals)
+            a_lo = -BB + min(vals)
+            a_hi = BB + max(vals)
             na = a_hi - a_lo + 1
             x_lo = a_lo - st
             nx = na + 2 * st
@@ -349,11 +474,17 @@ def _make_me_seeded_kernel(
             # of VMEM round-trips per iteration vs 0.3 of stores).
             def body_u(k, carry, ay=ay, x_lo=x_lo, nx=nx, offs=offs,
                        a_lo=a_lo, a_hi=a_hi):
+                # rebased plane index: absolute dx = (x_lo + k) + bx.
+                # The clip keeps unreachable extremes (|bx| + vmax_b >
+                # vmax) in bounds; their slabs die in all-False masks.
+                pidx = k + (x_lo + vmax)
+                if rebase:
+                    pidx = jnp.clip(pidx + bx, 0, 2 * vmax)
                 acc = [None, None, None]
                 for u in range(x_lo, x_lo + nx):  # static row displ.
                     sl = rot[
-                        pl.ds(k + (x_lo + vmax), 1),
-                        pl.ds(u + vmax, f0_rows),
+                        pl.ds(pidx, 1),
+                        pl.ds(u + vmax_b, f0_rows),
                         :,
                     ][0]
                     if costfn == "sad":
@@ -391,8 +522,8 @@ def _make_me_seeded_kernel(
             ay = ay + (best_i // 3 - 1) * st
             ax = ax + (best_i % 3 - 1) * st
 
-        u_ref[0] = ax.astype(jnp.float32)
-        v_ref[0] = ay.astype(jnp.float32)
+        u_ref[0] = ((ax + bx) if rebase else ax).astype(jnp.float32)
+        v_ref[0] = ((ay + by) if rebase else ay).astype(jnp.float32)
 
     return kernel
 
@@ -401,7 +532,7 @@ def _make_me_seeded_kernel(
     jax.jit,
     static_argnames=(
         "search_size", "patch_size", "costfn", "seed_mode", "seed_bound",
-        "interpret",
+        "rebase_bound", "interpret",
     ),
 )
 def me_exact_pallas_seeded(
@@ -413,6 +544,7 @@ def me_exact_pallas_seeded(
     costfn: str = "sad",
     seed_mode: str = "shipped",
     seed_bound: int = 8,
+    rebase_bound=None,
     interpret: bool = False,
 ):
     """Seeded exact block-matching flow, bit-identical to
@@ -420,6 +552,13 @@ def me_exact_pallas_seeded(
     |trunc(seed)| <= seed_bound).
 
     Accepts [H, W] or [B, H, W] frames with seed [..., H, W, 2].
+
+    ``rebase_bound`` (static, < seed_bound) turns on per-band seed
+    rebasing: each 32-row band scans only +-rebase_bound around its
+    midpoint base instead of +-seed_bound around zero, cutting the
+    quadratic scan cost (see _make_me_seeded_kernel). Bit-identical to
+    rebase_bound=None whenever every band's midpoint residual fits the
+    bound - size it with seeded_rebase_bound (the dispatcher does).
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
@@ -439,22 +578,34 @@ def me_exact_pallas_seeded(
         for o in (-1, 0, 1)
     )
     vmax = B + rel_max
+    rebase = rebase_bound is not None and int(rebase_bound) < B
+    B_eff = int(rebase_bound) if rebase else None
+    BB = B_eff if rebase else B
+    vmax_b = BB + rel_max  # per-band reach (== vmax when not rebasing)
     nxmax = max(
-        (B + max(vals)) - (-B + min(vals)) + 2 * st + 1
+        (BB + max(vals)) - (-BB + min(vals)) + 2 * st + 1
         for st, vals in zip(steps, axis_sets)
     )
     pad1 = pm + vmax
     bh = min(BAND_H, max(8, -(-h // 8) * 8))
     hp = -(-h // bh) * bh
     wp = -(-(w + 2 * pad1) // 128) * 128
-    f0_rows, f1_rows = _band_rows(bh, pm, vmax)
+    f0_rows, f1_rows = _band_rows(bh, pm, vmax_b)
     f0e = jnp.zeros((bsz, hp - bh + f0_rows, wp), jnp.int32)
     f0e = jax.lax.dynamic_update_slice(
         f0e, gray0.astype(jnp.int32), (0, pm, pm)
     )
-    f1e = jnp.zeros((bsz, hp - bh + f1_rows, wp), jnp.int32)
+    # rebased rows need slack for the dynamic band start r0 + by + Bq
+    # (by a multiple of 8 in [-Bq, Bq], Bq = B rounded up to one): the
+    # image sits at row pm + vmax_b + Bq and the buffer carries 2*Bq
+    # extra rows; columns keep the full +-vmax pad (the rot planes
+    # span every absolute column displacement)
+    Bq = -(-B // 8) * 8
+    row_img = pm + vmax_b + Bq if rebase else pad1
+    row_slack = 2 * Bq if rebase else 0
+    f1e = jnp.zeros((bsz, hp - bh + f1_rows + row_slack, wp), jnp.int32)
     f1e = jax.lax.dynamic_update_slice(
-        f1e, gray1.astype(jnp.int32), (0, pad1, pad1)
+        f1e, gray1.astype(jnp.int32), (0, row_img, pad1)
     )
 
     seed_u = seed[..., 0].astype(jnp.float32)
@@ -466,20 +617,35 @@ def me_exact_pallas_seeded(
     axe = jnp.zeros((bsz, hp, wp), jnp.int32)
     axe = jax.lax.dynamic_update_slice(axe, ax0, (0, 0, 0))
 
-    kernel = _make_me_seeded_kernel(steps, bh, wp, pm, vmax, B, costfn)
+    band_spec = lambda: pl.BlockSpec(
+        (1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        band_spec(),
+        band_spec(),
+    ]
+    inputs = [f0e, f1e, aye, axe]
+    if rebase:
+        # whole [bsz, nbands] arrays in SMEM (blocked scalar specs are
+        # rejected by the compiled lowering); the kernel indexes them
+        # with its program ids
+        by, bx = _band_bases(ay0, ax0, bh, hp)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        inputs += [by, bx]
+
+    kernel = _make_me_seeded_kernel(
+        steps, bh, wp, pm, vmax, B, costfn, B_eff=B_eff
+    )
     u, v = pl.pallas_call(
         kernel,
         grid=(bsz, hp // bh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[band_spec(), band_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
@@ -495,7 +661,7 @@ def me_exact_pallas_seeded(
             vmem_limit_bytes=100 * 2**20
         ),
         interpret=interpret,
-    )(f0e, f1e, aye, axe)
+    )(*inputs)
     du = u[:, :h, :w]
     dv = v[:, :h, :w]
     if seed_mode == "shipped":

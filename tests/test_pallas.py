@@ -672,6 +672,58 @@ class TestMeExactSeededKernel:
         assert not me_exact_pallas_seeded_supported(15, 5, "wsad", 8)
         assert not me_exact_pallas_seeded_supported(5, 5, "sad", 8)  # no steps
 
+    def test_rebased_bit_identical(self, rng):
+        # per-band seed rebasing (rebase_bound < seed_bound) must be
+        # bit-identical to the unrebased kernel whenever every band's
+        # midpoint residual fits the bound (seeded_rebase_bound sizes it)
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_seeded,
+            seeded_rebase_bound,
+        )
+
+        h, w, B = 40, 56, 12
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        # banded seed: two 32-row bands with distinct bases (+-10) and
+        # narrow in-band spread, so rebasing shrinks the scan to +-4
+        base = np.where(np.arange(h)[:, None, None] < 32, 10.0, -10.0)
+        seed = (base + rng.uniform(-3.4, 3.4, (h, w, 2))).astype(np.float32)
+        rb = seeded_rebase_bound(seed, h, B)
+        assert rb == 4
+        ref = np.asarray(
+            me_exact_pallas_seeded(
+                g0, g1, seed, 9, 3, "sad", "shipped", B, interpret=True
+            )
+        )
+        got = np.asarray(
+            me_exact_pallas_seeded(
+                g0, g1, seed, 9, 3, "sad", "shipped", B,
+                rebase_bound=rb, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_rebase_bound_sizing(self, rng):
+        import jax
+
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            seeded_rebase_bound,
+        )
+
+        h, w = 40, 56
+        # narrow banded seed -> smallest covering quantum
+        seed = np.full((h, w, 2), 7.3, np.float32)
+        assert seeded_rebase_bound(seed, h, 16) == 4
+        # in-band spread wider than every quantum < B -> None
+        wide = rng.uniform(-15, 15, (h, w, 2)).astype(np.float32)
+        assert seeded_rebase_bound(wide, h, 16) is None
+        # tracer seeds (under jit) -> None, never a concrete sizing
+        out = []
+        jax.make_jaxpr(
+            lambda s: out.append(seeded_rebase_bound(s, h, 16)) or s
+        )(seed)
+        assert out == [None]
+
     def test_scoped_vmem_overflow_degrades_to_xla(self, rng, monkeypatch):
         import jax
         import jax.numpy as jnp
