@@ -1033,6 +1033,89 @@ def upscale_mv(mv: jnp.ndarray, scale: int, mode: str = "shipped") -> jnp.ndarra
     return jnp.stack([u, v], axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _median_network(n: int):
+    """Comparator program selecting the median (index n//2) of n wires.
+
+    Batcher odd-even mergesort on the next power of two; the +inf pad
+    wires are constant-folded away (a compare against a known-inf wire
+    is a value move, not an op), then the program is backward-pruned to
+    the comparators that can reach the median output. Returns
+    (ops, out_wire) where ops is a tuple of ('cmp'|'mov', a, b):
+    cmp -> a, b = min(a, b), max(a, b); mov -> a = b.
+
+    XLA's generic TPU sort on a length-81 axis costs ~14 ms per VGA
+    flow pair (profiled, round 4); this network is a few hundred fused
+    VPU min/max ops - ~2 orders of magnitude less device time - and
+    selects the exact same median value.
+    """
+    n2 = 1 << (n - 1).bit_length()
+    pairs = []
+
+    def merge(lo, hi, r):  # hi inclusive; classic odd-even merge
+        step = r * 2
+        if step < hi - lo:
+            merge(lo, hi, step)
+            merge(lo + r, hi, step)
+            for i in range(lo + r, hi - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort_range(lo, hi):
+        if hi - lo >= 1:
+            mid = lo + (hi - lo) // 2
+            sort_range(lo, mid)
+            sort_range(mid + 1, hi)
+            merge(lo, hi, 1)
+
+    sort_range(0, n2 - 1)
+
+    # constant-fold the pad wires (indices >= n start as +inf)
+    inf = [w >= n for w in range(n2)]
+    prog = []
+    for a, b in pairs:  # a < b: a takes min, b takes max
+        if inf[a] and inf[b]:
+            continue
+        if inf[b]:  # min lands on a (already there), b stays inf
+            continue
+        if inf[a]:  # real value at b moves down to a; b becomes inf
+            prog.append(("mov", a, b))
+            inf[a], inf[b] = False, True
+        else:
+            prog.append(("cmp", a, b))
+
+    # backward prune to the median output wire
+    needed = {n // 2}
+    kept = []
+    for op, a, b in reversed(prog):
+        if op == "cmp":
+            if a in needed or b in needed:
+                needed.add(a)
+                needed.add(b)
+                kept.append((op, a, b))
+        else:  # mov: post-op a = pre-op b
+            if a in needed:
+                needed.discard(a)
+                needed.add(b)
+                kept.append((op, a, b))
+    return tuple(reversed(kept)), n // 2
+
+
+def _median_select(planes):
+    """Exact median of a list of same-shape arrays, elementwise."""
+    ops, out = _median_network(len(planes))
+    vals = {i: p for i, p in enumerate(planes)}
+    for op, a, b in ops:
+        if op == "cmp":
+            va, vb = vals[a], vals[b]
+            vals[a] = jnp.minimum(va, vb)
+            vals[b] = jnp.maximum(va, vb)
+        else:
+            vals[a] = vals[b]
+    return vals[out]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def median_filter_flow(mv: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     """k x k per-component median filter of a [H, W, 2] (or batched
@@ -1041,20 +1124,20 @@ def median_filter_flow(mv: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     Per-pixel integer SAD matching is noisy (the reference never
     regularized it); a median between pyramid levels roughly HALVES the
     endpoint error on the Middlebury pair (7.6 -> 3.4 EPE at k=9).
+    Selection runs on a pruned Batcher min/max network (_median_network)
+    instead of jnp.sort - same median value, ~100x less device time.
     """
     mv = jnp.asarray(mv)
     if mv.ndim == 4:
         return jax.vmap(lambda m: median_filter_flow(m, k))(mv)
     h, w = mv.shape[:2]
     p = jnp.pad(mv, ((k // 2, k // 2), (k // 2, k // 2), (0, 0)), mode="edge")
-    stack = jnp.stack(
-        [
-            jax.lax.slice(p, (i, j, 0), (i + h, j + w, 2))
-            for i in range(k)
-            for j in range(k)
-        ]
-    )
-    return jnp.sort(stack, axis=0)[k * k // 2]
+    planes = [
+        jax.lax.slice(p, (i, j, 0), (i + h, j + w, 2))
+        for i in range(k)
+        for j in range(k)
+    ]
+    return _median_select(planes)
 
 
 def _refine_2d_subpixel(gray0, gray1, flow, patch_size: int, costfn: str):

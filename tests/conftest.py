@@ -21,14 +21,32 @@ import numpy as np
 import pytest
 
 # persistent compilation cache: repeated test runs skip recompiles.
-# OCV_TEST_CACHE_DIR points the suite at its own cache when a TPU
-# process is live on the default dir - concurrent cache writes from two
-# processes have segfaulted jax's put_executable_and_time (r4).
+# The default is the suite's OWN directory, never the TPU processes'
+# /tmp/ocv_tpu_jax_cache: concurrent reads/writes from two processes
+# on one dir have segfaulted jax's compilation-cache code twice (r4,
+# put_executable_and_time and get_executable_and_time). CPU-backend
+# executables would never hit the TPU cache anyway.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("OCV_TEST_CACHE_DIR", "/tmp/ocv_tpu_jax_cache"),
+    os.environ.get("OCV_TEST_CACHE_DIR", "/tmp/ocv_test_jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture
+def no_persistent_cache():
+    """Disable the persistent compilation cache for one test.
+
+    XLA's CPU executable (de)serialization has segfaulted twice deep
+    into long suite runs (r4: put_executable_and_time AND
+    get_executable_and_time, both on the rebased seeded-ME executable;
+    standalone runs of the same test read and write the entry fine).
+    Tests whose executables trip it opt out - they recompile every run
+    (~25 s) instead of crashing the suite."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
 
 
 @pytest.fixture(scope="session")

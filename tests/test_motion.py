@@ -347,6 +347,34 @@ class TestFastAndSmooth:
         out = np.asarray(ops.median_filter_flow(mv, 3))
         assert np.all(out == 0)
 
+    def test_median_network_matches_sort(self, rng):
+        # the pruned Batcher selection network must return the exact
+        # median jnp.sort would, for every kernel size the drivers use
+        from oclcomputervision_tpu.ops.motion import (
+            _median_network,
+            _median_select,
+        )
+
+        for n in (3, 9, 25, 49, 81):
+            x = rng.normal(size=(n, 21, 17)).astype(np.float32)
+            got = np.asarray(_median_select(list(x)))
+            np.testing.assert_array_equal(got, np.sort(x, axis=0)[n // 2])
+        ops_81, out = _median_network(81)
+        assert out == 40
+        assert sum(1 for o in ops_81 if o[0] == "cmp") < 760
+
+    def test_median_filter_flow_matches_sort(self, rng):
+        for k in (3, 5, 9):
+            mv = rng.normal(size=(30, 26, 2)).astype(np.float32)
+            got = np.asarray(ops.median_filter_flow(mv, k))
+            p = np.pad(
+                mv, ((k // 2, k // 2), (k // 2, k // 2), (0, 0)), mode="edge"
+            )
+            stack = np.stack(
+                [p[i : i + 30, j : j + 26] for i in range(k) for j in range(k)]
+            )
+            np.testing.assert_array_equal(got, np.sort(stack, axis=0)[k * k // 2])
+
     def test_smooth_pyramid_improves_epe(self, frames_gray, flow_gt):
         import cv2
 

@@ -672,7 +672,7 @@ class TestMeExactSeededKernel:
         assert not me_exact_pallas_seeded_supported(15, 5, "wsad", 8)
         assert not me_exact_pallas_seeded_supported(5, 5, "sad", 8)  # no steps
 
-    def test_rebased_bit_identical(self, rng):
+    def test_rebased_bit_identical(self, rng, no_persistent_cache):
         # per-band seed rebasing (rebase_bound < seed_bound) must be
         # bit-identical to the unrebased kernel whenever every band's
         # midpoint residual fits the bound (seeded_rebase_bound sizes it)
