@@ -686,12 +686,19 @@ def _vmem_fallback_warn(e: Exception, kernel: str, shape, fallback: str):
     )
 
 
-def _warn_seed_saturation(seed, bound, what):
+def _warn_seed_saturation(seed, bound, what, stats=None):
     """Host-side guard: warn when a CONCRETE seed's base exceeds the
-    clamp (tracers skip - the check is advisory, not semantic)."""
+    clamp (tracers skip - the check is advisory, not semantic).
+    ``stats`` (me_pallas.seed_band_stats output) avoids re-reading the
+    full field: |trunc| attains its max at a per-band extremum."""
     if seed is None or isinstance(seed, jax.core.Tracer):
         return
-    base_max = float(np.max(np.abs(np.trunc(np.asarray(seed)))))
+    if stats is not None:
+        from oclcomputervision_tpu.ops.pallas.me_pallas import stats_base_max
+
+        base_max = stats_base_max(stats)
+    else:
+        base_max = float(np.max(np.abs(np.trunc(np.asarray(seed)))))
     if base_max > bound:
         import warnings
 
@@ -763,8 +770,17 @@ def estimate_motion_vector(
             raise ValueError(
                 "warp_bound must be 'auto', 'gather', or an int >= 0"
             )
+    # ONE tiny per-band min/max readback serves every host-side seed
+    # decision below (auto bound sizing, saturation warnings, rebase
+    # sizing) - previously each forced its own full-field transfer
+    # through the tunnel (~2.4 MB at VGA vs < 1 KB of stats)
+    seed_stats = None
+    if has_seed and not isinstance(seed, jax.core.Tracer):
+        from oclcomputervision_tpu.ops.pallas.me_pallas import seed_band_stats
+
+        seed_stats = seed_band_stats(seed, gray0.shape[-2])
     if method == "fast" and wb is not None and wb >= 0 and has_seed:
-        _warn_seed_saturation(seed, wb, "warp_bound")
+        _warn_seed_saturation(seed, wb, "warp_bound", stats=seed_stats)
     steps = me_steps(search_size, patch_size)
     if (
         method == "exact"
@@ -807,8 +823,12 @@ def estimate_motion_vector(
         # pixels (NOT an outlier tail), and clamping them at 16 cost
         # 0.05 EPE (3.49 vs the full-coverage 3.44) - round-4 probe.
         sb = 8
-        if has_seed and not isinstance(seed, jax.core.Tracer):
-            base_max = float(np.max(np.abs(np.trunc(np.asarray(seed)))))
+        if seed_stats is not None:
+            from oclcomputervision_tpu.ops.pallas.me_pallas import (
+                stats_base_max,
+            )
+
+            base_max = stats_base_max(seed_stats)
             for q in (8, 12, 16, 20, 24, 32):
                 sb = q
                 if base_max <= q:
@@ -840,13 +860,15 @@ def estimate_motion_vector(
             # fused band-resident Pallas search: 9.7 ms/VGA frame
             # device vs ~33 for the XLA S-map stack (bit-identical).
             # No HBM budget gate applies - the bands live in VMEM
-            _warn_seed_saturation(seed, sb, "seed_bound")
+            _warn_seed_saturation(seed, sb, "seed_bound", stats=seed_stats)
             # per-band seed rebasing (bit-identical, concrete seeds
             # only): scan +-rb around each band's midpoint instead of
             # +-sb around zero - the scan cost is quadratic in the
             # bound and pyramid seeds vary far less within a 32-row
             # band than globally (Middlebury finest level: 32 -> 20)
-            rb = seeded_rebase_bound(seed, gray0.shape[-2], sb)
+            rb = seeded_rebase_bound(
+                seed, gray0.shape[-2], sb, stats=seed_stats
+            )
             try:
                 return me_exact_pallas_seeded(
                     gray0, gray1, sd, search_size, patch_size,
@@ -867,7 +889,7 @@ def estimate_motion_vector(
         map_bytes = 2 if costfn == "sad" and patch_size <= 11 else 4
         # live S-map stack budget (HBM only; int16 SAD maps halve it)
         if nmaps * hw * map_bytes <= 6e9:
-            _warn_seed_saturation(seed, sb, "seed_bound")
+            _warn_seed_saturation(seed, sb, "seed_bound", stats=seed_stats)
             if gray0.ndim == 3:
                 return jax.vmap(
                     lambda g0, g1, s_: _estimate_2d_smap_seeded(
@@ -1341,7 +1363,12 @@ def estimate_motion_pyramid(
             rs = median_filter_flow(mv, sk)
             rb = 32
             if not isinstance(rs, jax.core.Tracer):
-                bm = float(np.max(np.abs(np.trunc(np.asarray(rs)))))
+                from oclcomputervision_tpu.ops.pallas.me_pallas import (
+                    seed_band_stats,
+                    stats_base_max,
+                )
+
+                bm = stats_base_max(seed_band_stats(rs, rs.shape[-3]))
                 for q in (8, 12, 16, 20, 24, 32):
                     rb = q
                     if bm <= q:
@@ -1357,9 +1384,28 @@ def estimate_motion_pyramid(
             for _ in range(subpixel):
                 mv = refine_flow_subpixel(pyr0[lv], pyr1[lv], mv, patch_size)
                 mv = median_filter_flow(mv, sk)
-        elif smooth > 0:
-            mv = median_filter_flow(mv, smooth)
-        flows.append(mv)
-        if lv + 1 < levels:
-            seed = upscale_mv(mv, 2, mode=seed_mode)
+            flows.append(mv)
+            if lv + 1 < levels:
+                seed = upscale_mv(mv, 2, mode=seed_mode)
+        else:
+            # ONE dispatch for (median smooth, next-level seed upscale):
+            # the pyramid driver is eager by design (concrete seeds are
+            # what enable host-side bound sizing and per-band rebasing),
+            # so every separate jitted call is its own ~13 ms tunnel
+            # round trip - fuse the level tail
+            mv, nxt = _postprocess_level(
+                mv, smooth, seed_mode, lv + 1 < levels
+            )
+            flows.append(mv)
+            if nxt is not None:
+                seed = nxt
     return flows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode", "upscale"))
+def _postprocess_level(mv, k: int, mode: str, upscale: bool):
+    """Fused per-level tail of estimate_motion_pyramid: optional median
+    smooth + next-level seed upscale in ONE device dispatch."""
+    if k > 0:
+        mv = median_filter_flow(mv, k)
+    return mv, (upscale_mv(mv, 2, mode=mode) if upscale else None)

@@ -283,35 +283,92 @@ def me_exact_pallas(
 
 
 def _band_bases(ay, ax, bh: int, hp: int):
-    """Per-band midpoint bases of the clipped integer seed planes.
+    """Per-band bases + max residuals of the clipped integer seed planes.
 
     ``ay``/``ax`` are [bsz, h, w] int32 (already clipped to [-B, B]);
     rows are edge-extended to ``hp`` so a partial last band is sized
-    from real data, not padding zeros. Returns two [bsz, hp//bh] int32
-    arrays. Floor-division midpoint: every in-band value sits within
-    ceil((max - min) / 2) of its base. The ROW base is additionally
-    rounded to the nearest multiple of 8 (cost: <= 4 extra residual):
-    it offsets the band's f1 DMA start, and Mosaic requires dynamic
-    sublane starts provably divisible by the (8, 128) tile - the
-    rounding is what lets the kernel assert pl.multiple_of(. , 8).
-    Plain jnp so the dispatcher can evaluate the SAME formula eagerly
-    when sizing the static residual bound (seeded_rebase_bound) - one
-    implementation, no drift."""
+    from real data, not padding zeros. Returns four [bsz, hp//bh] int32
+    arrays (by, bx, ry, rx): midpoint bases and the max |value - base|
+    residual per band per axis. The ROW base is additionally rounded to
+    the nearest multiple of 8 (cost: <= 4 extra residual): it offsets
+    the band's f1 DMA start, and Mosaic requires dynamic sublane starts
+    provably divisible by the (8, 128) tile - the rounding is what lets
+    the kernel assert pl.multiple_of(. , 8). Plain jnp so the
+    dispatcher can evaluate the SAME formula eagerly when sizing the
+    static residual bound (seeded_rebase_bound) - one implementation,
+    no drift."""
     bsz, h, w = ay.shape
 
     def bases(a, sublane_quant):
         a = jnp.pad(a, ((0, 0), (0, hp - h), (0, 0)), mode="edge")
         a = a.reshape(bsz, hp // bh, bh * w)
-        mid = (jnp.min(a, axis=2) + jnp.max(a, axis=2)) // 2
-        return ((mid + 4) // 8) * 8 if sublane_quant else mid
+        lo = jnp.min(a, axis=2)
+        hi = jnp.max(a, axis=2)
+        base = (lo + hi) // 2
+        if sublane_quant:
+            base = ((base + 4) // 8) * 8
+        resid = jnp.maximum(hi - base, base - lo)
+        return base, resid
 
-    return bases(ay, True), bases(ax, False)
+    by, ry = bases(ay, True)
+    bx, rx = bases(ax, False)
+    return by, bx, ry, rx
 
 
 REBASE_QUANTA = (4, 8, 12, 16, 20, 24)
 
 
-def seeded_rebase_bound(seed, h: int, seed_bound: int):
+@functools.partial(jax.jit, static_argnames=("bh", "hp"))
+def _band_minmax_jit(seed, bh: int, hp: int):
+    """Per-band min/max of the raw [bsz, h, w, 2] seed: [bsz, nb, 2, 2]
+    (last dims: component u/v, min/max). Rows edge-extended to hp like
+    _band_bases, so a partial last band reduces over real data only."""
+    bsz, h = seed.shape[0], seed.shape[1]
+    s = jnp.pad(seed, ((0, 0), (0, hp - h), (0, 0), (0, 0)), mode="edge")
+    s = s.transpose(0, 3, 1, 2).reshape(bsz, 2, hp // bh, -1)
+    mm = jnp.stack([jnp.min(s, axis=3), jnp.max(s, axis=3)], axis=-1)
+    return mm.transpose(0, 2, 1, 3)  # [bsz, nb, comp, min/max]
+
+
+def seed_band_stats(seed, h: int):
+    """ONE tiny device->host readback with everything the host-side
+    seed sizing needs: per-band min/max of the raw seed.
+
+    Every host decision about a concrete seed (seed_bound='auto'
+    quantization, saturation warnings, rebase-bound sizing) reduces to
+    per-band extrema, and min/max commute with the monotone trunc/clip
+    those decisions apply - so ONE [bsz, nbands, 2, 2] readback
+    replaces three full-field [H, W, 2] transfers through the tunnel
+    per seeded call (~2.4 MB each at VGA; the stats are < 1 KB).
+    Returns np [bsz, nbands, 2, 2] (component u/v, min/max), or None
+    for tracers."""
+    if seed is None or isinstance(seed, jax.core.Tracer):
+        return None
+    bh = min(BAND_H, max(8, -(-h // 8) * 8))
+    hp = -(-h // bh) * bh
+    if isinstance(seed, np.ndarray):  # host seed: no device round trip
+        if seed.ndim == 3:
+            seed = seed[None]
+        s = np.pad(
+            seed, ((0, 0), (0, hp - seed.shape[1]), (0, 0), (0, 0)),
+            mode="edge",
+        )
+        s = s.transpose(0, 3, 1, 2).reshape(seed.shape[0], 2, hp // bh, -1)
+        mm = np.stack([s.min(axis=3), s.max(axis=3)], axis=-1)
+        return mm.transpose(0, 2, 1, 3)
+    seed = jnp.asarray(seed)
+    if seed.ndim == 3:
+        seed = seed[None]
+    return np.asarray(_band_minmax_jit(seed, bh, hp))
+
+
+def stats_base_max(stats) -> float:
+    """max |trunc(seed)| over the whole field, from seed_band_stats
+    output (|trunc| attains its max at a per-band extremum)."""
+    return float(np.max(np.abs(np.trunc(stats))))
+
+
+def seeded_rebase_bound(seed, h: int, seed_bound: int, stats=None):
     """Static per-band rebase residual bound for me_exact_pallas_seeded.
 
     The seeded search's device cost is quadratic in the scan width
@@ -323,28 +380,31 @@ def seeded_rebase_bound(seed, h: int, seed_bound: int):
     per-band base instead of +-B around zero - bit-identical (same
     absolute candidates, same tie order), just indexed differently.
 
+    ``stats`` (from seed_band_stats) sizes the bound from per-band
+    extrema without touching the full field: min/max commute with the
+    monotone trunc/clip, so clip(trunc(extremum)) IS the extremum of
+    the clipped trunc planes the device-side _band_bases reduces -
+    the two computations agree exactly by construction.
+
     Returns the smallest quantum in REBASE_QUANTA that covers every
     band's midpoint residual of trunc(seed) clipped to [-seed_bound,
     seed_bound], or None when the seed is a tracer (no concrete bands
     to size) or no quantum < seed_bound covers it (rebasing would not
     shrink the scan). Quantized so compile variants stay bounded."""
-    if isinstance(seed, jax.core.Tracer):
+    if stats is None:
+        stats = seed_band_stats(seed, h)
+    if stats is None:  # tracer
         return None
-    seed = np.asarray(seed)
-    if seed.ndim == 3:
-        seed = seed[None]
     B = int(seed_bound)
-    ay = np.clip(np.trunc(seed[..., 1]), -B, B).astype(np.int32)
-    ax = np.clip(np.trunc(seed[..., 0]), -B, B).astype(np.int32)
-    bh = min(BAND_H, max(8, -(-h // 8) * 8))
-    hp = -(-h // bh) * bh
-    by, bx = _band_bases(jnp.asarray(ay), jnp.asarray(ax), bh, hp)
-    by = np.asarray(by)[:, :, None, None]
-    bx = np.asarray(bx)[:, :, None, None]
-    pad = ((0, 0), (0, hp - ay.shape[1]), (0, 0))
-    ayp = np.pad(ay, pad, mode="edge").reshape(by.shape[0], hp // bh, bh, -1)
-    axp = np.pad(ax, pad, mode="edge").reshape(by.shape[0], hp // bh, bh, -1)
-    resid = max(np.abs(ayp - by).max(), np.abs(axp - bx).max())
+    ext = np.clip(np.trunc(stats), -B, B).astype(np.int32)
+    lo_x, hi_x = ext[:, :, 0, 0], ext[:, :, 0, 1]
+    lo_y, hi_y = ext[:, :, 1, 0], ext[:, :, 1, 1]
+    # same base/residual formulas as the device-side _band_bases
+    by = ((((lo_y + hi_y) // 2) + 4) // 8) * 8
+    bx = (lo_x + hi_x) // 2
+    ry = np.maximum(hi_y - by, by - lo_y)
+    rx = np.maximum(hi_x - bx, bx - lo_x)
+    resid = max(int(ry.max()), int(rx.max()))
     for q in REBASE_QUANTA:
         if q >= B:
             return None
@@ -401,7 +461,7 @@ def _make_me_seeded_kernel(
 
     def kernel(*refs):
         if rebase:
-            (f0_hbm, f1_hbm, ay_ref, ax_ref, by_ref, bx_ref,
+            (f0_hbm, f1_hbm, ay_ref, ax_ref, by_ref, bx_ref, rx_ref,
              u_ref, v_ref, f0b, f1b, rot, Rs, sems) = refs
         else:
             (f0_hbm, f1_hbm, ay_ref, ax_ref,
@@ -411,6 +471,11 @@ def _make_me_seeded_kernel(
         if rebase:
             by = by_ref[b, i]
             bx = bx_ref[b, i]
+            # this band's actual max column residual (<= B_eff): lets
+            # the column scan and the rot build skip planes no pixel
+            # of the band can reach (their R slabs would only ever be
+            # consumed under all-False ax==vx masks)
+            rx_b = rx_ref[b, i]
         else:
             by = bx = 0
         r0 = i * bh
@@ -438,9 +503,10 @@ def _make_me_seeded_kernel(
 
         for sft in range(2 * vmax + 1):
             if rebase and sft:
-                # only the 2*vmax_b+1 planes within reach of this
-                # band's column base are ever read - skip the rest
-                @pl.when(jnp.abs(sft - (bx + vmax)) <= vmax_b)
+                # only planes within this band's column reach (its
+                # actual residual rx_b plus the rounds' total step
+                # reach) are ever read - skip the rest
+                @pl.when(jnp.abs(sft - (bx + vmax)) <= rx_b + (vmax - B))
                 def _build(sft=sft):
                     rot[sft] = pltpu.roll(f1b[:], wp - sft, 1)
             else:
@@ -500,7 +566,16 @@ def _make_me_seeded_kernel(
                 for oi in range(3):
                     Rs[oi, pl.ds(k, 1)] = acc[oi][None]
                 return carry
-            jax.lax.fori_loop(0, nx, body_u, 0, unroll=False)
+            if rebase:
+                # trim the column scan to this band's actual residual
+                # range: slabs outside [BB - rx_b, nx - (BB - rx_b))
+                # are only ever consumed under all-False ax==vx masks
+                # (no pixel's state can reach them), so their garbage
+                # is harmless and their build is skippable
+                mx = jnp.maximum(BB - rx_b, 0)
+                jax.lax.fori_loop(mx, nx - mx, body_u, 0, unroll=False)
+            else:
+                jax.lax.fori_loop(0, nx, body_u, 0, unroll=False)
 
             # stage B: static unroll (aset is a static range, so every
             # slab index and mask compare is static; the 9 cost
@@ -630,13 +705,15 @@ def me_exact_pallas_seeded(
     if rebase:
         # whole [bsz, nbands] arrays in SMEM (blocked scalar specs are
         # rejected by the compiled lowering); the kernel indexes them
-        # with its program ids
-        by, bx = _band_bases(ay0, ax0, bh, hp)
+        # with its program ids. rx (per-band max column residual) lets
+        # the kernel trim its column scan and rot build per band.
+        by, bx, _, rx = _band_bases(ay0, ax0, bh, hp)
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        inputs += [by, bx]
+        inputs += [by, bx, rx]
 
     kernel = _make_me_seeded_kernel(
         steps, bh, wp, pm, vmax, B, costfn, B_eff=B_eff

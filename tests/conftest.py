@@ -37,16 +37,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 def no_persistent_cache():
     """Disable the persistent compilation cache for one test.
 
-    XLA's CPU executable (de)serialization has segfaulted twice deep
-    into long suite runs (r4: put_executable_and_time AND
-    get_executable_and_time, both on the rebased seeded-ME executable;
-    standalone runs of the same test read and write the entry fine).
-    Tests whose executables trip it opt out - they recompile every run
-    (~25 s) instead of crashing the suite."""
-    old = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    XLA's CPU executable (de)serialization has segfaulted three times
+    deep into long suite runs (r4: put_executable_and_time AND
+    get_executable_and_time, always on the rebased seeded-ME
+    executable; standalone runs of the same test read and write the
+    entry fine). Tests whose executables trip it opt out - they
+    recompile every run (~25 s) instead of crashing the suite.
+
+    Toggling jax_compilation_cache_dir alone is NOT enough: the cache
+    object and the is_cache_used() verdict are memoized in module
+    globals once the first compile initializes them, so the flag flip
+    must be paired with reset_cache() (and again on restore, so later
+    tests re-initialize with the directory)."""
+    from jax._src import compilation_cache as _cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
     yield
-    jax.config.update("jax_compilation_cache_dir", old)
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
 
 
 @pytest.fixture(scope="session")

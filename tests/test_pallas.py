@@ -685,9 +685,13 @@ class TestMeExactSeededKernel:
         g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
         g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
         # banded seed: two 32-row bands with distinct bases (+-10) and
-        # narrow in-band spread, so rebasing shrinks the scan to +-4
-        base = np.where(np.arange(h)[:, None, None] < 32, 10.0, -10.0)
-        seed = (base + rng.uniform(-3.4, 3.4, (h, w, 2))).astype(np.float32)
+        # DIFFERENT in-band spreads (band 0 +-1, band 1 +-3.4), so
+        # rebasing shrinks the scan to +-4 AND band 0's dynamic
+        # column-residual trim engages (rx_b=1 < B_eff=4)
+        band0 = np.arange(h)[:, None, None] < 32
+        base = np.where(band0, 10.0, -10.0)
+        spread = rng.uniform(-3.4, 3.4, (h, w, 2)) * np.where(band0, 0.29, 1.0)
+        seed = (base + spread).astype(np.float32)
         rb = seeded_rebase_bound(seed, h, B)
         assert rb == 4
         ref = np.asarray(
