@@ -123,8 +123,17 @@ def get_region_padded(im, T, B, L, R, size):
 def histeq_global(gray, alpha=1, punch=0.05, clip=2, use_gpu=True):
     if use_gpu:
         out, ms = timed(ops.histeq_global, gray, float(alpha), float(punch), float(clip))
+        # the reference prints a three-part breakdown - hist GPU + eq
+        # GPU + transfer-func CPU ms (eq_global.py:56) - because its
+        # pipeline crosses the host boundary twice with a CPU stage
+        # between. This build fuses all three stages into ONE device
+        # dispatch, so the whole time lands in the first figure and the
+        # other two are structurally zero; the print shape is preserved
+        # for output parity.
         print(
-            "global histogram equalization took GPU: {:.3f} ms".format(ms)
+            "global histogram equalization took GPU: {:.3f} + {:.3f} ms, CPU: {:.3f} ms".format(
+                ms, 0.0, 0.0
+            )
         )
         return np.asarray(out)
     return oracle.histeq_global(gray, alpha, punch, clip)

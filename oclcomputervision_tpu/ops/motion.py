@@ -605,6 +605,27 @@ def _estimate_2d_fast(
     return jnp.stack([u, v], axis=-1)
 
 
+def exact_halo_rows(search_size: int = 15, patch_size: int = 5) -> int:
+    """Per-side row halo that makes a band-local EXACT search exact:
+    every output pixel of _estimate_2d_smap reads frame rows within
+    pm (patch) + vmax (max reachable displacement) of itself and
+    nothing else (the search is purely per-pixel - unlike the fast
+    iteration there is no cross-pixel state flow), so a band holding
+    that many true rows beyond its kept region reproduces the
+    full-image result bit-exactly (19 rows at the 15/5 geometry).
+    The spatial-parallel building block of parallel.mesh
+    motion_exact_sharded."""
+    pm = patch_size // 2
+    steps = me_steps(search_size, patch_size)
+    vmax = max(
+        abs(v + o * st)
+        for st, vals in zip(steps, _reachable_sets(steps))
+        for v in vals
+        for o in (-1, 0, 1)
+    )
+    return pm + vmax
+
+
 def fast_halo_rows(search_size: int = 15, patch_size: int = 5) -> int:
     """Per-side row halo that makes a band-local fast iteration exact:
     each round spreads state influence by 1 (median) + step (candidate
@@ -773,14 +794,26 @@ def estimate_motion_vector(
     # ONE tiny per-band min/max readback serves every host-side seed
     # decision below (auto bound sizing, saturation warnings, rebase
     # sizing) - previously each forced its own full-field transfer
-    # through the tunnel (~2.4 MB at VGA vs < 1 KB of stats)
-    seed_stats = None
-    if has_seed and not isinstance(seed, jax.core.Tracer):
-        from oclcomputervision_tpu.ops.pallas.me_pallas import seed_band_stats
+    # through the tunnel (~2.4 MB at VGA vs < 1 KB of stats). Computed
+    # LAZILY: the readback is a synchronous device->host round trip
+    # (~13 ms through the tunnel), and some dispatch branches (e.g.
+    # method='fast' with warp_bound='gather') never consume it.
+    _stats_cache = []
 
-        seed_stats = seed_band_stats(seed, gray0.shape[-2])
+    def seed_stats():
+        if not _stats_cache:
+            if has_seed and not isinstance(seed, jax.core.Tracer):
+                from oclcomputervision_tpu.ops.pallas.me_pallas import (
+                    seed_band_stats,
+                )
+
+                _stats_cache.append(seed_band_stats(seed, gray0.shape[-2]))
+            else:
+                _stats_cache.append(None)
+        return _stats_cache[0]
+
     if method == "fast" and wb is not None and wb >= 0 and has_seed:
-        _warn_seed_saturation(seed, wb, "warp_bound", stats=seed_stats)
+        _warn_seed_saturation(seed, wb, "warp_bound", stats=seed_stats())
     steps = me_steps(search_size, patch_size)
     if (
         method == "exact"
@@ -823,12 +856,12 @@ def estimate_motion_vector(
         # pixels (NOT an outlier tail), and clamping them at 16 cost
         # 0.05 EPE (3.49 vs the full-coverage 3.44) - round-4 probe.
         sb = 8
-        if seed_stats is not None:
+        if has_seed and seed_stats() is not None:
             from oclcomputervision_tpu.ops.pallas.me_pallas import (
                 stats_base_max,
             )
 
-            base_max = stats_base_max(seed_stats)
+            base_max = stats_base_max(seed_stats())
             for q in (8, 12, 16, 20, 24, 32):
                 sb = q
                 if base_max <= q:
@@ -860,14 +893,14 @@ def estimate_motion_vector(
             # fused band-resident Pallas search: 9.7 ms/VGA frame
             # device vs ~33 for the XLA S-map stack (bit-identical).
             # No HBM budget gate applies - the bands live in VMEM
-            _warn_seed_saturation(seed, sb, "seed_bound", stats=seed_stats)
+            _warn_seed_saturation(seed, sb, "seed_bound", stats=seed_stats())
             # per-band seed rebasing (bit-identical, concrete seeds
             # only): scan +-rb around each band's midpoint instead of
             # +-sb around zero - the scan cost is quadratic in the
             # bound and pyramid seeds vary far less within a 32-row
             # band than globally (Middlebury finest level: 32 -> 20)
             rb = seeded_rebase_bound(
-                seed, gray0.shape[-2], sb, stats=seed_stats
+                seed, gray0.shape[-2], sb, stats=seed_stats()
             )
             try:
                 return me_exact_pallas_seeded(
@@ -889,7 +922,7 @@ def estimate_motion_vector(
         map_bytes = 2 if costfn == "sad" and patch_size <= 11 else 4
         # live S-map stack budget (HBM only; int16 SAD maps halve it)
         if nmaps * hw * map_bytes <= 6e9:
-            _warn_seed_saturation(seed, sb, "seed_bound", stats=seed_stats)
+            _warn_seed_saturation(seed, sb, "seed_bound", stats=seed_stats())
             if gray0.ndim == 3:
                 return jax.vmap(
                     lambda g0, g1, s_: _estimate_2d_smap_seeded(
@@ -1148,6 +1181,14 @@ def median_filter_flow(mv: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     endpoint error on the Middlebury pair (7.6 -> 3.4 EPE at k=9).
     Selection runs on a pruned Batcher min/max network (_median_network)
     instead of jnp.sort - same median value, ~100x less device time.
+
+    Inputs are assumed FINITE: the min/max comparator network propagates
+    NaNs non-deterministically (jnp.minimum/maximum return NaN when
+    either operand is NaN), unlike a sort, which places NaNs last and
+    leaves the median of mostly-finite windows unaffected. Every
+    in-package caller satisfies this (integer search outputs; the
+    subpixel fit guards its denominators) - sanitize external flows
+    (jnp.nan_to_num) before filtering.
     """
     mv = jnp.asarray(mv)
     if mv.ndim == 4:

@@ -3,6 +3,7 @@ from oclcomputervision_tpu.parallel.mesh import (
     data_parallel,
     histeq_global_sharded,
     histeq_local_sharded,
+    motion_exact_sharded,
     motion_fast_sharded,
     raisr_train_step,
     raisr_upsample_sharded,
@@ -13,6 +14,7 @@ __all__ = [
     "data_parallel",
     "histeq_global_sharded",
     "histeq_local_sharded",
+    "motion_exact_sharded",
     "motion_fast_sharded",
     "raisr_train_step",
     "raisr_upsample_sharded",

@@ -230,6 +230,76 @@ def motion_fast_sharded(
     return sharded(gray0, gray1)
 
 
+def motion_exact_sharded(
+    gray0: jnp.ndarray,
+    gray1: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    search_size: int = 15,
+    patch_size: int = 5,
+    costfn: str = "sad",
+) -> jnp.ndarray:
+    """Row-sharded EXACT dense motion estimation (sp).
+
+    Each device holds a row shard of both frames, exchanges
+    exact_halo_rows() = patch_margin + vmax true boundary rows with its
+    neighbors over ICI (two ppermute shifts per frame), runs the
+    gather-free S-map search (ops.motion._estimate_2d_smap) on its
+    extended band, and crops the halo. BIT-IDENTICAL to the
+    single-device exact mode: the exact search is purely per-pixel -
+    every output reads only frame rows within pm + vmax of itself - so
+    a band carrying that many true rows reproduces the full-image
+    result, and the zeros ppermute delivers at the global edges ARE the
+    oracle's zero padding (me_pyramid.py:89-127's get_region_padded).
+    Unlike the fast mode there is no cross-pixel state flow, hence no
+    garbage-creep terms in the halo.
+
+    Unseeded (the pyramid's coarsest level / single-pair serving) -
+    the same scope as motion_fast_sharded; use dp over frame batches
+    for seeded pyramid levels.
+    """
+    from oclcomputervision_tpu.ops.motion import (
+        _estimate_2d_smap,
+        exact_halo_rows,
+    )
+
+    n = mesh.shape[axis]
+    h, w = gray0.shape
+    if h % n:
+        raise ValueError(f"rows {h} not divisible by mesh axis {n}")
+    h_loc = h // n
+    hh = exact_halo_rows(search_size, patch_size)
+    if hh > h_loc:
+        raise ValueError(
+            f"halo {hh} exceeds shard rows {h_loc}; use fewer devices"
+        )
+
+    def shard_fn(g0, g1):
+        g0 = g0.reshape(h_loc, w)
+        g1 = g1.reshape(h_loc, w)
+        fwd = [(k, k + 1) for k in range(n - 1)]  # send bottom rows down
+        bwd = [(k + 1, k) for k in range(n - 1)]  # send top rows up
+        exts = []
+        for g in (g0, g1):
+            top = jax.lax.ppermute(g[-hh:], axis, fwd)  # from the shard above
+            bot = jax.lax.ppermute(g[:hh], axis, bwd)   # from the shard below
+            # global edges receive zeros from ppermute - exactly the
+            # oracle's out-of-image zero fill
+            exts.append(jnp.concatenate([top, g, bot], axis=0))
+        res = _estimate_2d_smap(
+            exts[0], exts[1], search_size, patch_size, costfn
+        )
+        return res[hh : hh + h_loc]
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    return sharded(gray0, gray1)
+
+
 def raisr_train_step(
     patches: jnp.ndarray,
     targets: jnp.ndarray,

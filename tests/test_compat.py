@@ -10,7 +10,16 @@ class TestHisteqCompat:
     def test_histeq_global_gpu_vs_cpu_paths(self, under_exposure_gray, capsys):
         g = under_exposure_gray[:128, :256]
         gpu = compat.histeq_global(g, 1, 0.05, 2, use_gpu=True)
-        assert "histogram equalization took GPU" in capsys.readouterr().out
+        # the reference's three-part breakdown shape (eq_global.py:56):
+        # hist GPU + eq GPU ms, transfer-func CPU ms
+        import re
+
+        out = capsys.readouterr().out
+        assert re.search(
+            r"global histogram equalization took GPU: "
+            r"\d+\.\d{3} \+ \d+\.\d{3} ms, CPU: \d+\.\d{3} ms",
+            out,
+        ), out
         cpu = compat.histeq_global(g, 1, 0.05, 2, use_gpu=False)
         assert np.abs(gpu.astype(int) - cpu.astype(int)).max() <= 1
 

@@ -173,7 +173,22 @@ class TestSpatialMotion:
         )
         np.testing.assert_array_equal(got, want)
 
+    def test_row_sharded_exact_motion_matches_single(self, mesh8, frames_gray):
+        # sp exact-ME: pm + vmax halo-row ppermute exchange + band-local
+        # S-map search; purely per-pixel, so seams are bit-identical
+        from oclcomputervision_tpu.ops.motion import estimate_motion_vector
+
+        g0 = frames_gray[0][:240, :320]
+        g1 = frames_gray[1][:240, :320]
+        got = np.asarray(parallel.motion_exact_sharded(g0, g1, mesh8))
+        want = np.asarray(
+            estimate_motion_vector(g0, g1, 15, 5, method="exact")
+        )
+        np.testing.assert_array_equal(got, want)
+
     def test_row_sharded_motion_halo_too_big_raises(self, mesh8, rng):
         g = rng.integers(0, 256, (64, 64)).astype(np.uint8)  # 8 rows/shard
         with pytest.raises(ValueError, match="halo"):
             parallel.motion_fast_sharded(g, g, mesh8)
+        with pytest.raises(ValueError, match="halo"):
+            parallel.motion_exact_sharded(g[:32], g[:32], mesh8)
