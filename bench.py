@@ -172,9 +172,12 @@ def bench_me_pyramid_time(jax, jnp):
     """Wall + device time of the full seeded-EXACT 3-level VGA pyramid
     (me_test.py:76-90's coarse-to-fine flow, bit-identical search).
 
-    This is a host-driven multi-dispatch flow (~20 tunnel dispatches),
-    so WALL time is tunnel-dominated; DEVICE ms (profiler trace - the
-    ground truth) is emitted alongside. vs_baseline for both is the
+    Round 5: the pyramid driver is JITTED end to end - tracer-safe
+    dynamic rebasing (me_pallas rebase_bound='dynamic') keeps the
+    per-band rebased scan cost under jit, so the whole 3-level flow is
+    ONE tunnel dispatch instead of the eager driver's ~15-20 (r4 wall
+    230 ms at 34 ms device). The eager driver's wall is emitted
+    alongside for the dispatch-overhead record. vs_baseline is the
     round-2 target ratio 100 ms / value (>1 = beat the target)."""
     import numpy as np
 
@@ -184,14 +187,16 @@ def bench_me_pyramid_time(jax, jnp):
     g0, g1 = _me_frames(jnp)
     rng = np.random.default_rng(7)
 
-    def run(a, b):
-        flows = estimate_motion_pyramid(a, b, 3, method="exact", smooth=9)
-        return flows[-1]
+    run_jit = jax.jit(
+        lambda a, b: estimate_motion_pyramid(
+            a, b, 3, method="exact", smooth=9
+        )[-1]
+    )
 
-    # warmup (compiles every level's kernels)
-    _ = np.asarray(run(g0, g1))
-    times = []
-    for _r in range(3):
+    def run_eager(a, b):
+        return estimate_motion_pyramid(a, b, 3, method="exact", smooth=9)[-1]
+
+    def fresh(r):
         a = jnp.asarray(
             np.clip(np.asarray(g0, np.int16) + rng.integers(-4, 5, g0.shape), 0, 255
                     ).astype(np.uint8))
@@ -199,17 +204,66 @@ def bench_me_pyramid_time(jax, jnp):
             np.clip(np.asarray(g1, np.int16) + rng.integers(-4, 5, g1.shape), 0, 255
                     ).astype(np.uint8))
         jax.block_until_ready((a, b))
-        t0 = time.perf_counter()
-        _ = np.asarray(run(a, b))  # full host readback completes the flow
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    wall_ms = times[len(times) // 2] * 1e3
-    dev_ms = profile_device(run, a, b).pop("__total__")
+        return a, b
+
+    def med_wall(run):
+        times = []
+        for _r in range(3):
+            a, b = fresh(_r)
+            t0 = time.perf_counter()
+            _ = np.asarray(run(a, b))  # full host readback completes the flow
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2] * 1e3
+
+    # warmups (compile every level's kernels + the fused jit program)
+    _ = np.asarray(run_eager(g0, g1))
+    _ = np.asarray(run_jit(g0, g1))
+    wall_ms = med_wall(run_jit)
+    eager_wall_ms = med_wall(run_eager)
+    a, b = fresh(99)
+    dev_ms = profile_device(run_jit, a, b).pop("__total__")
     print("me exact pyramid time done", file=sys.stderr, flush=True)
     _emit("me_exact_pyramid_wall_ms", wall_ms,
           unit="ms (lower is better)", vs=100.0 / wall_ms)
+    _emit("me_exact_pyramid_eager_wall_ms", eager_wall_ms,
+          unit="ms (lower is better)", vs=100.0 / eager_wall_ms)
     _emit("me_exact_pyramid_device_ms", dev_ms,
           unit="ms (lower is better)", vs=100.0 / dev_ms)
+
+
+def bench_me_pyramid_batched(jax, jnp):
+    """Serving-shape throughput: the jitted exact 3-level pyramid over
+    [B, H, W] VGA stacks (batch 4), scan-dispatch protocol. Unit is
+    finest-level megapixels per second; vs_baseline is the round-2
+    100 ms/pyramid target expressed as a rate (0.3 MP VGA / 0.1 s =
+    3.07 MP/s per stream, x4 streams = 12.3)."""
+    import numpy as np
+
+    from oclcomputervision_tpu.ops.motion import estimate_motion_pyramid
+
+    g0, g1 = _me_frames(jnp)
+    h, w = g0.shape
+    bsz, n_scan, rounds = 4, 4, 3
+    key = jax.random.PRNGKey(11)
+
+    def make_buf(r):
+        k0, k1 = jax.random.split(jax.random.fold_in(key, r))
+        j0 = (jax.random.uniform(k0, (n_scan, bsz, h, w)) * 9 - 4).astype(jnp.int16)
+        j1 = (jax.random.uniform(k1, (n_scan, bsz, h, w)) * 9 - 4).astype(jnp.int16)
+        a = jnp.clip(g0.astype(jnp.int16)[None, None] + j0, 0, 255).astype(jnp.uint8)
+        b = jnp.clip(g1.astype(jnp.int16)[None, None] + j1, 0, 255).astype(jnp.uint8)
+        return a, b
+
+    def fn(ab, acc):
+        a, b = ab
+        flow = estimate_motion_pyramid(a, b, 3, method="exact", smooth=9)[-1]
+        return acc + jnp.sum(flow, dtype=jnp.float32).astype(jnp.int32)
+
+    median_s = _measure(fn, make_buf, n_scan, rounds, jax, jnp)
+    mps = bsz * h * w / median_s / 1e6
+    print("me exact pyramid batched done", file=sys.stderr, flush=True)
+    _emit("me_exact_pyramid_batched_throughput", mps, vs=mps / 12.3)
 
 
 def bench_video(jax, jnp):
@@ -378,6 +432,7 @@ def main():
     bench_me(jax, jnp)
     bench_me_epe(jax, jnp)
     bench_me_pyramid_time(jax, jnp)
+    bench_me_pyramid_batched(jax, jnp)
     bench_video(jax, jnp)
     bench_raisr(jax, jnp, scale=3)
     bench_raisr(jax, jnp, scale=4)

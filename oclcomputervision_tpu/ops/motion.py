@@ -770,9 +770,11 @@ def estimate_motion_vector(
     |trunc(seed)| <= B, with a warning when a concrete seed saturates;
     ~2 orders of magnitude faster than the windowed gather it replaces.
     'auto' sizes B from the seed itself when concrete (quantized to
-    {8, 12, 16, 20, 24, 32}; tracers get 8). An int sets B directly;
-    'none' keeps the windowed gather (unbounded seeds, also the WSAD
-    route).
+    {8, 12, 16, 20, 24, 32}); a tracer seed gets the full 32 whenever
+    the Pallas seeded kernel takes the call (its dynamic per-band
+    rebasing recovers the concrete-seed scan cost on device), else 8.
+    An int sets B directly; 'none' keeps the windowed gather
+    (unbounded seeds, also the WSAD route).
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
@@ -847,14 +849,17 @@ def estimate_motion_vector(
                 )
             )(gray0, gray1)
         return _estimate_2d_smap(gray0, gray1, search_size, patch_size, costfn)
+    seed_is_tracer = has_seed and isinstance(seed, jax.core.Tracer)
     if seed_bound == "auto":
         # size the bound from the seed itself when it is concrete (the
         # pyramid driver's seeds always are), quantized to {8, 12, 16,
-        # 20, 24, 32} so recompiles stay bounded; tracers get the 8
-        # default. The top quantum matters: on the repo's own Middlebury
-        # benchmark the finest level's seeds reach 29 px over 9.6% of
-        # pixels (NOT an outlier tail), and clamping them at 16 cost
-        # 0.05 EPE (3.49 vs the full-coverage 3.44) - round-4 probe.
+        # 20, 24, 32} so recompiles stay bounded. Tracer seeds get the
+        # FULL 32 px coverage whenever the Pallas seeded kernel will
+        # take the call (its per-band DYNAMIC rebasing keeps the scan
+        # cost at the concrete-seed level - see me_exact_pallas_seeded
+        # rebase_bound='dynamic'); on backends without the kernel a
+        # tracer keeps the old 8 default (the XLA S-map stack at B=32
+        # would cost ~4x with no in-kernel trim to claw it back).
         sb = 8
         if has_seed and seed_stats() is not None:
             from oclcomputervision_tpu.ops.pallas.me_pallas import (
@@ -866,6 +871,19 @@ def estimate_motion_vector(
                 sb = q
                 if base_max <= q:
                     break
+        elif seed_is_tracer and method == "exact":
+            from oclcomputervision_tpu.ops.pallas.me_pallas import (
+                me_exact_pallas_seeded_supported,
+            )
+
+            if (
+                jax.default_backend() == "tpu"
+                and costfn in ("sad", "ssd")
+                and me_exact_pallas_seeded_supported(
+                    search_size, patch_size, costfn, 32
+                )
+            ):
+                sb = 32
     elif seed_bound in (None, "none"):
         sb = None
     else:
@@ -902,6 +920,13 @@ def estimate_motion_vector(
             rb = seeded_rebase_bound(
                 seed, gray0.shape[-2], sb, stats=seed_stats()
             )
+            if seed_is_tracer:
+                # tracer-safe rebasing: the per-band residual bound is
+                # computed ON DEVICE and a lax.switch picks the same
+                # static variant the eager sizing would have - the
+                # jitted pyramid keeps the eager scan cost instead of
+                # silently paying the unrebased 2-2.5x (round-4 gap)
+                rb = "dynamic"
             try:
                 return me_exact_pallas_seeded(
                     gray0, gray1, sd, search_size, patch_size,
@@ -1398,8 +1423,9 @@ def estimate_motion_pyramid(
             # around the cap beats keeping it), and pass the SAME
             # bound down - bound == clamp, so the pass is never
             # silently saturated and never warns. Under an enclosing
-            # jit the seed is a tracer: use the full 32 px cap
-            # (correct-by-default; eager picks the cheaper quantum).
+            # jit the seed is a tracer: use the full 32 px cap; the
+            # seeded kernel's DYNAMIC per-band rebasing then recovers
+            # the same scan cost the eager quantum sizing would pick.
             sk = smooth if smooth > 0 else 5
             rs = median_filter_flow(mv, sk)
             rb = 32

@@ -634,6 +634,18 @@ def me_exact_pallas_seeded(
     quadratic scan cost (see _make_me_seeded_kernel). Bit-identical to
     rebase_bound=None whenever every band's midpoint residual fits the
     bound - size it with seeded_rebase_bound (the dispatcher does).
+
+    ``rebase_bound='dynamic'`` makes the rebasing TRACER-SAFE: the
+    per-band residual bound is computed ON DEVICE (the same
+    _band_bases formula the host sizing uses) and a lax.switch selects
+    among the precompiled static variants - the quanta in
+    REBASE_QUANTA that fit under ``seed_bound``, plus the unrebased
+    kernel as the covering fallback. The selected branch is exactly
+    the variant the eager dispatcher would have picked from a concrete
+    seed (same formula, same quanta, same covering rule), so
+    jit(pyramid) is bit-identical to the eager pyramid while keeping
+    the rebased scan cost. Costs one compile per variant (cached);
+    runtime executes only the selected branch.
     """
     gray0 = jnp.asarray(gray0)
     gray1 = jnp.asarray(gray1)
@@ -641,6 +653,54 @@ def me_exact_pallas_seeded(
     squeeze = gray0.ndim == 2
     if squeeze:
         gray0, gray1, seed = gray0[None], gray1[None], seed[None]
+    if rebase_bound == "dynamic":
+        B = int(seed_bound)
+        quanta = [q for q in REBASE_QUANTA if q < B]
+        impl = functools.partial(
+            _seeded_impl,
+            gray0, gray1, seed, search_size, patch_size, costfn,
+            seed_mode, B, interpret=interpret,
+        )
+        if not quanta:
+            out = impl(rebase_bound=None)
+            return out[0] if squeeze else out
+        # device-side twin of seeded_rebase_bound: per-band midpoint
+        # residuals of the clipped trunc planes (identical formula via
+        # the shared _band_bases), covered by the smallest quantum
+        bsz, h = gray0.shape[0], gray0.shape[1]
+        bh = min(BAND_H, max(8, -(-h // 8) * 8))
+        hp = -(-h // bh) * bh
+        ay0 = jnp.clip(jnp.trunc(seed[..., 1]).astype(jnp.int32), -B, B)
+        ax0 = jnp.clip(jnp.trunc(seed[..., 0]).astype(jnp.int32), -B, B)
+        _, _, ry, rx = _band_bases(ay0, ax0, bh, hp)
+        resid = jnp.maximum(jnp.max(ry), jnp.max(rx))
+        # branch index: first quantum >= resid, else the unrebased tail
+        idx = sum((resid > q).astype(jnp.int32) for q in quanta)
+        branches = [
+            functools.partial(impl, rebase_bound=q) for q in quanta
+        ] + [functools.partial(impl, rebase_bound=None)]
+        out = jax.lax.switch(idx, branches)
+        return out[0] if squeeze else out
+    out = _seeded_impl(
+        gray0, gray1, seed, search_size, patch_size, costfn, seed_mode,
+        int(seed_bound), rebase_bound, interpret=interpret,
+    )
+    return out[0] if squeeze else out
+
+
+def _seeded_impl(
+    gray0,
+    gray1,
+    seed,
+    search_size: int,
+    patch_size: int,
+    costfn: str,
+    seed_mode: str,
+    seed_bound: int,
+    rebase_bound,
+    interpret: bool = False,
+):
+    """One static-variant seeded search (see me_exact_pallas_seeded)."""
     bsz, h, w = gray0.shape
     pm = patch_size // 2
     B = int(seed_bound)
@@ -745,7 +805,7 @@ def me_exact_pallas_seeded(
         out = jnp.stack([seed_u + du, seed_v + dv], axis=-1)
     else:
         out = jnp.stack([du, dv], axis=-1)
-    return out[0] if squeeze else out
+    return out
 
 
 def me_exact_pallas_seeded_supported(

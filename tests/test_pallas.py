@@ -728,6 +728,55 @@ class TestMeExactSeededKernel:
         )(seed)
         assert out == [None]
 
+    def test_dynamic_rebase_bit_identical(self, rng, no_persistent_cache):
+        # rebase_bound='dynamic' (tracer-safe): the per-band residual
+        # bound is computed on device and a lax.switch selects the
+        # static variant - must be bit-identical to the unrebased
+        # kernel for ANY seed, eager and under jit. The banded seed's
+        # residual (~5) straddles the 4/8 quantum boundary: a selector
+        # off by one quantum would CLAMP band residuals and corrupt
+        # the flow, so bit-identity also pins the selection rule.
+        import jax
+
+        from oclcomputervision_tpu.ops.pallas.me_pallas import (
+            me_exact_pallas_seeded,
+        )
+
+        h, w, B = 40, 56, 12
+        g0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        g1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        band0 = np.arange(h)[:, None, None] < 32
+        base = np.where(band0, 9.0, -9.0)
+        seed = (base + rng.uniform(-5.0, 5.0, (h, w, 2))).astype(np.float32)
+        kw = dict(
+            search_size=9, patch_size=3, costfn="sad",
+            seed_mode="shipped", seed_bound=B, interpret=True,
+        )
+        ref = np.asarray(
+            me_exact_pallas_seeded(g0, g1, seed, rebase_bound=None, **kw)
+        )
+        dyn = np.asarray(
+            me_exact_pallas_seeded(g0, g1, seed, rebase_bound="dynamic", **kw)
+        )
+        np.testing.assert_array_equal(dyn, ref)
+        jdyn = np.asarray(
+            jax.jit(
+                lambda a, b, s: me_exact_pallas_seeded(
+                    a, b, s, rebase_bound="dynamic", **kw
+                )
+            )(g0, g1, seed)
+        )
+        np.testing.assert_array_equal(jdyn, ref)
+        # wide seed -> no quantum covers it -> the unrebased tail branch
+        wide = rng.uniform(-11, 11, (h, w, 2)).astype(np.float32)
+        refw = np.asarray(
+            me_exact_pallas_seeded(g0, g1, wide, rebase_bound=None, **kw)
+        )
+        dynw = np.asarray(
+            me_exact_pallas_seeded(g0, g1, wide, rebase_bound="dynamic", **kw)
+        )
+        np.testing.assert_array_equal(dynw, refw)
+
     def test_scoped_vmem_overflow_degrades_to_xla(self, rng, monkeypatch):
         import jax
         import jax.numpy as jnp
