@@ -26,11 +26,41 @@ import pytest
 # on one dir have segfaulted jax's compilation-cache code twice (r4,
 # put_executable_and_time and get_executable_and_time). CPU-backend
 # executables would never hit the TPU cache anyway.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("OCV_TEST_CACHE_DIR", "/tmp/ocv_test_jax_cache"),
-)
+# Under pytest-xdist, give every worker its OWN cache dir: concurrent
+# reads/writes from multiple processes on one dir are the documented
+# segfault mode above.
+_cache_dir = os.environ.get("OCV_TEST_CACHE_DIR", "/tmp/ocv_test_jax_cache")
+_worker = os.environ.get("PYTEST_XDIST_WORKER")
+if _worker:
+    _cache_dir = os.path.join(_cache_dir, _worker)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# Bound live-executable accumulation in the single test process.
+#
+# Both r4 full-suite segfaults AND the r5 repro (cache disabled for the
+# whole seeded-ME class) died at the ~197th test inside XLA CPU
+# compile/load paths - different tests, different code paths
+# (get_executable_and_time in r4, plain backend_compile_and_load in
+# r5), same cumulative point. The crash follows the test COUNT, not any
+# test: a resource the CPU client accumulates per live compiled
+# executable (LLVM ORC JIT code memory) runs out ~200 heavyweight
+# compiles in, and the next compile segfaults. Dropping references to
+# old executables every 30 tests keeps the live set far from the
+# threshold; the persistent disk cache makes the re-JITs cheap.
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables():
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 30:
+        _TESTS_SINCE_CLEAR[0] = 0
+        import jax as _jax
+
+        _jax.clear_caches()
 
 
 @pytest.fixture

@@ -589,12 +589,22 @@ class TestMeExactKernel:
             estimate_motion_vector(g0, g1, 15, 5, method="exact")
 
 
+@pytest.mark.usefixtures("no_persistent_cache")
 class TestMeExactSeededKernel:
     """Seeded fused exact search (ops/pallas/me_pallas.py
     me_exact_pallas_seeded): bit-identical to the clamped-base XLA twin
     _estimate_2d_smap_seeded across geometries, costs, seed modes,
     bounds, and batches (transitively bit-identical to oracle/motion
-    whenever |trunc(seed)| <= seed_bound)."""
+    whenever |trunc(seed)| <= seed_bound).
+
+    The whole class runs with the persistent compilation cache OFF
+    (class-scoped no_persistent_cache): every r4/r5 suite segfault was
+    XLA CPU executable (de)serialization of a seeded-ME executable deep
+    into long runs (jax compilation_cache get/put_executable_and_time;
+    VERDICT r4 item 1), and covering only the two rebased tests left
+    test_scoped_vmem_overflow_degrades_to_xla to kill the suite at
+    test 198/257. Recompiling this class every run (~30 s warm) is the
+    price of a suite that finishes."""
 
     @pytest.mark.parametrize(
         "ss,ps,h,w,costfn,mode,B",
