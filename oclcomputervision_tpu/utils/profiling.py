@@ -94,16 +94,53 @@ def profile_device(fn: Callable, *args, logdir: str | None = None) -> dict:
     for e in data.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             threads[(e["pid"], e["tid"])] = e["args"]["name"]
-    per_op: dict = {}
-    total = 0.0
+    # Collect the XLA Ops events per thread, then count only LEAF
+    # intervals: a control-flow wrapper op (`cond`/`while`) spans its
+    # executed branch/body, whose ops are traced as nested events on
+    # the same timeline - summing both double-counts the wrapper
+    # (measured: a jitted cond reported 27.74 ms for `cond.23.clone`
+    # AND 27.70 ms for its `branch_5_fun` child). Intervals on one
+    # thread are well-nested, so a stack walk finds parents.
+    by_thread: dict = {}
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
             continue
         if "XLA Ops" not in str(threads.get((e["pid"], e["tid"]), "")):
             continue
-        ms = e.get("dur", 0) / 1e3
-        per_op[e["name"]] = per_op.get(e["name"], 0.0) + ms
-        total += ms
+        by_thread.setdefault((e["pid"], e["tid"]), []).append(
+            (e.get("ts", 0), e.get("dur", 0), e["name"])
+        )
+    return _sum_leaf_ops(by_thread)
+
+
+def _sum_leaf_ops(by_thread: dict) -> dict:
+    """{op: ms} + '__total__' over LEAF trace intervals only.
+
+    ``by_thread`` maps thread key -> [(ts, dur, name), ...]. Intervals
+    on one thread are well-nested, so a stack walk marks parents; only
+    events with no contained child are counted (see profile_device).
+    """
+    per_op: dict = {}
+    total = 0.0
+
+    def _close(entry):
+        nonlocal total
+        _end, name, ms, has_child = entry
+        if not has_child:
+            per_op[name] = per_op.get(name, 0.0) + ms
+            total += ms
+
+    for events in by_thread.values():
+        events.sort(key=lambda t: (t[0], -t[1]))
+        stack: list = []  # [end_ts, name, ms, has_child]
+        for ts, dur, name in events:
+            while stack and ts >= stack[-1][0]:
+                _close(stack.pop())
+            if stack:
+                stack[-1][3] = True
+            stack.append([ts + dur, name, dur / 1e3, False])
+        while stack:
+            _close(stack.pop())
     per_op["__total__"] = total
     return per_op
 

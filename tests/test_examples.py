@@ -82,3 +82,25 @@ def test_profile_device_reports_ops():
     _ = f(x)  # warmup/compile outside the trace
     prof = profile_device(f, x)
     assert "__total__" in prof
+
+
+def test_profile_leaf_sum_excludes_control_flow_wrappers():
+    # A cond/while wrapper op spans its executed branch on the same
+    # XLA Ops timeline; counting both would double the pyramid's device
+    # total (measured on hardware: cond.23.clone 27.74 ms over
+    # branch_5_fun 27.70 ms). Only leaf intervals may count.
+    from oclcomputervision_tpu.utils.profiling import _sum_leaf_ops
+
+    events = [
+        (0, 1000, "fusion.1"),          # leaf
+        (1000, 500, "cond.23.clone"),   # wrapper: contains the branch
+        (1010, 480, "branch_5_fun"),    # nested leaf
+        (1600, 200, "fusion.2"),        # leaf after the cond closes
+    ]
+    prof = _sum_leaf_ops({(0, 0): events})
+    assert "cond.23.clone" not in prof
+    assert prof["branch_5_fun"] == 0.48
+    assert abs(prof["__total__"] - (1.0 + 0.48 + 0.2)) < 1e-9
+    # two threads stay independent; same-name leaves accumulate
+    prof2 = _sum_leaf_ops({(0, 0): events, (0, 1): [(0, 100, "fusion.1")]})
+    assert abs(prof2["fusion.1"] - 1.1) < 1e-9
