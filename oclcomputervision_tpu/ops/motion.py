@@ -1337,6 +1337,17 @@ def estimate_motion_pyramid(
     batched [B, H, W] stacks (per-level flows come back [B, h, w, 2]) -
     batching amortizes the per-level dispatches for serving.
 
+    Serving note: wrap this driver in ``jax.jit``. Eagerly, each
+    level's CONCRETE seed picks a quantized (seed_bound, rebase_bound)
+    kernel bucket, and content that wanders into a never-seen bucket
+    compiles a fresh kernel variant on first sight (tens of seconds
+    through a remote-compile toolchain; measured 22-51 s stalls on
+    noise-perturbed Middlebury draws). Under jit the seed is a tracer,
+    the whole pyramid is ONE program/dispatch, and the seeded kernel's
+    dynamic per-band rebasing keeps the device cost at the eager level
+    (34.5 ms leaf-op device vs 34.1 eager on the VGA 3-level exact
+    pyramid, r5 hardware profile) - same flow, bit-identical.
+
     ``smooth`` > 0 median-filters each level's flow (kernel size
     ``smooth``) before seeding the next level and on the final output -
     a quality extension over the reference (see median_filter_flow).
