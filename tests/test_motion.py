@@ -217,6 +217,25 @@ class TestQuality:
         # is noisy; require it to beat the zero-flow baseline clearly.
         assert err < 0.9 * zero_err, f"EPE {err} vs zero-flow {zero_err}"
 
+    def test_exact_pyramid_flow_is_integer_valued(self, frames_gray):
+        # Without subpixel refinement every exact-pyramid flow value is
+        # an integer stored in f32: integer full search + integer
+        # median + x2 upscale. bench.py's wall metric serves the flow
+        # as int16 on the strength of this property (asserted there at
+        # runtime too); pin it at the ops level so a future fractional
+        # stage (e.g. a non-integer upscale) fails loudly here instead.
+        g0, g1 = frames_gray
+        import cv2
+
+        g0s, g1s = cv2.pyrDown(g0), cv2.pyrDown(g1)
+        flows = ops.estimate_motion_pyramid(
+            g0s, g1s, levels=2, method="exact", smooth=9
+        )
+        for f in flows:
+            f = np.asarray(f)
+            assert np.array_equal(f, np.round(f))
+            assert np.abs(f).max() < 2**15
+
 
 class TestFastAndSmooth:
     def test_fast_mode_recovers_shift(self):
