@@ -178,15 +178,18 @@ def bench_me_pyramid_time(jax, jnp):
       rebased scan cost under jit, so the whole 3-level flow is ONE
       tunnel dispatch instead of the eager driver's ~15-20 (r4 wall
       230 ms at 34 ms device).
-    - The headline wall reads the flow back as int16. The exact
+    - The headline wall reads the flow back as int8. The exact
       pyramid's flow is integer-valued (integer full search + integer
-      median; no subpixel on this path), so the cast is lossless - and
-      ASSERTED bit-equal to the f32 program's output before anything
-      is timed. Motivation: a null dispatch through the tunnel costs
-      ~23 ms and the [480,640,2] f32 readback ~65 ms more, so at 34 ms
-      device time the f32 transfer dominates the wall; serving an
-      integer flow in int16 halves it. The f32-readback wall is
-      emitted alongside as me_exact_pyramid_wall_f32_ms.
+      median; no subpixel on this path) and analytically bounded by
+      motion.exact_flow_bound = (2**levels - 1) * (search//2) = 49 px
+      at these defaults, so the int8 cast is lossless by construction
+      - and still ASSERTED bit-equal to the f32 program's output
+      before anything is timed. Motivation: a null dispatch through
+      the tunnel costs ~23 ms and the [480,640,2] f32 readback ~65 ms
+      more (D2H ~37 MB/s), so at 34 ms device time the transfer
+      dominates the wall; serving the integer flow in int8 quarters
+      it. The int16 and f32 readback walls are emitted alongside as
+      me_exact_pyramid_wall_i16_ms / me_exact_pyramid_wall_f32_ms.
     - The EAGER driver resolves per-draw (seed_bound, rebase_bound)
       buckets from the concrete seed; a never-seen bucket compiles a
       fresh kernel variant through the remote compile service (22-51 s
@@ -209,6 +212,7 @@ def bench_me_pyramid_time(jax, jnp):
 
     run_jit = jax.jit(_pyr)
     run_jit_i16 = jax.jit(lambda a, b: _pyr(a, b).astype(jnp.int16))
+    run_jit_i8 = jax.jit(lambda a, b: _pyr(a, b).astype(jnp.int8))
 
     def run_eager(a, b):
         return _pyr(a, b)
@@ -233,15 +237,22 @@ def bench_me_pyramid_time(jax, jnp):
         times.sort()
         return times[len(times) // 2] * 1e3
 
-    # warmups: compile every level's kernels + both jit programs, and
-    # assert the int16 readback is a lossless encoding of the flow
+    # warmups: compile every level's kernels + all three jit programs,
+    # and assert both integer readbacks are lossless flow encodings
+    from oclcomputervision_tpu.ops.motion import exact_flow_bound
+
+    assert exact_flow_bound(3, 15) <= 127  # int8 holds by construction
     f32 = np.asarray(run_jit(g0, g1))
     i16 = np.asarray(run_jit_i16(g0, g1))
+    i8 = np.asarray(run_jit_i8(g0, g1))
     assert i16.dtype == np.int16 and np.array_equal(f32, i16.astype(np.float32)), \
         "int16 flow readback must be bit-equal to the f32 program"
+    assert i8.dtype == np.int8 and np.array_equal(f32, i8.astype(np.float32)), \
+        "int8 flow readback must be bit-equal to the f32 program"
     for _w in range(6):  # populate the eager driver's bucket set
         _ = np.asarray(run_eager(*fresh(100 + _w)))
-    wall_ms = med_wall(run_jit_i16)
+    wall_ms = med_wall(run_jit_i8)
+    i16_wall_ms = med_wall(run_jit_i16)
     f32_wall_ms = med_wall(run_jit)
     eager_wall_ms = med_wall(run_eager, rounds=5)
     a, b = fresh(99)
@@ -249,6 +260,8 @@ def bench_me_pyramid_time(jax, jnp):
     print("me exact pyramid time done", file=sys.stderr, flush=True)
     _emit("me_exact_pyramid_wall_ms", wall_ms,
           unit="ms (lower is better)", vs=100.0 / wall_ms)
+    _emit("me_exact_pyramid_wall_i16_ms", i16_wall_ms,
+          unit="ms (lower is better)", vs=100.0 / i16_wall_ms)
     _emit("me_exact_pyramid_wall_f32_ms", f32_wall_ms,
           unit="ms (lower is better)", vs=100.0 / f32_wall_ms)
     _emit("me_exact_pyramid_eager_wall_ms", eager_wall_ms,

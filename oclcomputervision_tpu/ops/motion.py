@@ -1113,6 +1113,25 @@ def upscale_mv(mv: jnp.ndarray, scale: int, mode: str = "shipped") -> jnp.ndarra
     return jnp.stack([u, v], axis=-1)
 
 
+def exact_flow_bound(levels: int, search_size: int = 15) -> int:
+    """Analytic sup bound on |flow| for the exact pyramid (per axis, px).
+
+    Each level's integer full search moves at most d = search_size // 2
+    px from its seed, and coarse-to-fine seeding doubles the previous
+    level's flow (upscale_mv x2; bilinear resize is a convex combination
+    so it cannot exceed the per-axis extrema, in either seed_mode), so
+    |f_L| <= 2 |f_{L-1}| + d and the finest level is bounded by
+    (2**levels - 1) * d. The median filter selects one of its inputs and
+    subpixel refinement is off on the exact path, so the bound holds for
+    every returned level. At the me_test.py:76-90 defaults (3 levels,
+    search 15) the bound is 49 - the integer-valued flow (pinned by
+    test_exact_pyramid_flow_is_integer_valued) is losslessly servable as
+    int8, which matters through a ~37 MB/s host link where the f32
+    readback dominates the single-dispatch wall (bench.py).
+    """
+    return (2 ** levels - 1) * (search_size // 2)
+
+
 @functools.lru_cache(maxsize=None)
 def _median_network(n: int):
     """Comparator program selecting the median (index n//2) of n wires.

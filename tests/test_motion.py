@@ -231,10 +231,15 @@ class TestQuality:
         flows = ops.estimate_motion_pyramid(
             g0s, g1s, levels=2, method="exact", smooth=9
         )
-        for f in flows:
+        from oclcomputervision_tpu.ops.motion import exact_flow_bound
+
+        for lvl, f in enumerate(flows):
             f = np.asarray(f)
             assert np.array_equal(f, np.round(f))
-            assert np.abs(f).max() < 2**15
+            # analytic per-level sup bound: each search moves <= d px
+            # from a seed that doubles the previous level's flow
+            assert np.abs(f).max() <= exact_flow_bound(lvl + 1, 15)
+        assert exact_flow_bound(3, 15) == 49  # int8-servable at defaults
 
 
 class TestFastAndSmooth:
